@@ -1,0 +1,151 @@
+"""Public differentiable rasterizer API.
+
+The TPU-native equivalent of the reference's
+``GaussianRasterizer(...) -> (image, radii, depth)`` plus the render-dict
+wrapper (``gs-simp/gaussian_renderer/__init__.py:18-101``): one function,
+
+    out = render(params, camera, bg_color, ...)
+
+returning ``RenderOutput(rgb [H,W,3], depth [H,W], alpha [H,W],
+radii [N], visibility [N])`` — differentiable w.r.t. every gaussian
+attribute, plus ``means2d_offset`` for the screen-space gradient signal
+consumed by densification.
+
+Static-shape knobs (jit specializes on them):
+- ``tile`` (h, w): binning granularity, default 16x16 like the CUDA kernel;
+- ``pair_budget``: total gaussian-tile pairs (default 8N);
+- ``max_per_tile``: splats composited per tile (default 1024);
+- ``chunk``: splats per scan step (default 128 — one full VPU lane row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...gs.gaussians import GaussianParams
+from . import binning, composite, geometry
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderCamera:
+    """Device-side camera constants for one view."""
+    world_view: jnp.ndarray  # [4,4]
+    full_proj: jnp.ndarray   # [4,4]
+    campos: jnp.ndarray      # [3]
+    tan_fovx: float = dataclasses.field(metadata=dict(static=True))
+    tan_fovy: float = dataclasses.field(metadata=dict(static=True))
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def from_camera(cls, cam) -> "RenderCamera":
+        """From a ``gs.cameras.Camera``."""
+        return cls(world_view=jnp.asarray(cam.world_view),
+                   full_proj=jnp.asarray(cam.full_proj),
+                   campos=jnp.asarray(cam.camera_center),
+                   tan_fovx=cam.tan_half_fovx, tan_fovy=cam.tan_half_fovy,
+                   width=cam.width, height=cam.height)
+
+
+class RenderOutput(NamedTuple):
+    rgb: jnp.ndarray      # [H, W, 3]
+    depth: jnp.ndarray    # [H, W]
+    alpha: jnp.ndarray    # [H, W]
+    radii: jnp.ndarray    # [N] int32
+    visibility: jnp.ndarray  # [N] bool (radii > 0)
+
+
+def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile_w: int,
+                       tile_h: int) -> jnp.ndarray:
+    """[T, P, 2] pixel coordinates for every tile."""
+    ty, tx = np.mgrid[0:tiles_y, 0:tiles_x]
+    origin = np.stack([tx.reshape(-1) * tile_w, ty.reshape(-1) * tile_h],
+                      axis=-1)  # [T, 2]
+    ly, lx = np.mgrid[0:tile_h, 0:tile_w]
+    local = np.stack([lx.reshape(-1), ly.reshape(-1)], axis=-1)  # [P, 2]
+    return jnp.asarray((origin[:, None, :] + local[None, :, :]).astype(
+        np.float32))
+
+
+def _assemble(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile_w: int,
+              tile_h: int, width: int, height: int) -> jnp.ndarray:
+    """[T, P, C?] tile blocks -> [H, W, C?] image (crop padding)."""
+    ch = tiles.shape[2:]
+    img = tiles.reshape((tiles_y, tiles_x, tile_h, tile_w) + ch)
+    img = jnp.moveaxis(img, 2, 1)  # [ty, th, tx, tw, ...]
+    img = img.reshape((tiles_y * tile_h, tiles_x * tile_w) + ch)
+    return img[:height, :width]
+
+
+@partial(jax.jit, static_argnames=("sh_degree", "tile", "pair_budget",
+                                   "max_per_tile", "chunk"))
+def render(params: GaussianParams, camera: RenderCamera,
+           bg_color: jnp.ndarray, sh_degree: int = 0,
+           scaling_modifier: float = 1.0,
+           means2d_offset: Optional[jnp.ndarray] = None,
+           tile: tuple[int, int] = (16, 16),
+           pair_budget: Optional[int] = None,
+           max_per_tile: int = 1024,
+           chunk: int = 128) -> RenderOutput:
+    n = params.capacity
+    tile_h, tile_w = tile
+    tiles_x = -(-camera.width // tile_w)
+    tiles_y = -(-camera.height // tile_h)
+    if pair_budget is None:
+        pair_budget = 8 * n
+
+    proj = geometry.project_gaussians(
+        params.xyz, params.features(), params.act_opacity()[:, 0],
+        params.act_scaling(), params.act_rotation(), params.live,
+        camera.world_view, camera.full_proj, camera.campos,
+        camera.tan_fovx, camera.tan_fovy, camera.width, camera.height,
+        sh_degree, scaling_modifier, means2d_offset)
+
+    bins = binning.bin_gaussians(
+        jax.lax.stop_gradient(proj.means2d),
+        jax.lax.stop_gradient(proj.radius),
+        jax.lax.stop_gradient(proj.depth),
+        tiles_x, tiles_y, tile_w, tile_h, pair_budget, max_per_tile)
+
+    pix = _tile_pixel_coords(tiles_x, tiles_y, tile_w, tile_h)
+    out = composite.composite_tiles(
+        bins.ids, bins.valid, pix, proj.means2d, proj.conic, proj.color,
+        proj.depth, proj.opacity, jnp.asarray(bg_color, jnp.float32),
+        chunk=chunk)
+
+    rgb = _assemble(out.rgb, tiles_x, tiles_y, tile_w, tile_h,
+                    camera.width, camera.height)
+    depth = _assemble(out.depth, tiles_x, tiles_y, tile_w, tile_h,
+                      camera.width, camera.height)
+    alpha = _assemble(out.alpha, tiles_x, tiles_y, tile_w, tile_h,
+                      camera.width, camera.height)
+    return RenderOutput(rgb=rgb, depth=depth, alpha=alpha,
+                        radii=proj.radius, visibility=proj.radius > 0)
+
+
+def render_oracle(params: GaussianParams, camera: RenderCamera,
+                  bg_color: jnp.ndarray, sh_degree: int = 0,
+                  scaling_modifier: float = 1.0) -> RenderOutput:
+    """Untiled O(H*W*N) golden-path renderer for tests."""
+    proj = geometry.project_gaussians(
+        params.xyz, params.features(), params.act_opacity()[:, 0],
+        params.act_scaling(), params.act_rotation(), params.live,
+        camera.world_view, camera.full_proj, camera.campos,
+        camera.tan_fovx, camera.tan_fovy, camera.width, camera.height,
+        sh_degree, scaling_modifier)
+    # Cull by pushing invisible splats to the back with zero opacity.
+    sort_depth = jnp.where(proj.radius > 0, proj.depth, jnp.inf)
+    order = jnp.argsort(sort_depth)
+    rgb, depth, alpha = composite.composite_dense(
+        proj.means2d, proj.conic, proj.color, proj.depth, proj.opacity,
+        order, camera.width, camera.height,
+        jnp.asarray(bg_color, jnp.float32), radius=proj.radius)
+    return RenderOutput(rgb=rgb, depth=depth, alpha=alpha,
+                        radii=proj.radius, visibility=proj.radius > 0)

@@ -1,0 +1,131 @@
+"""Per-gaussian projection geometry: EWA splatting math, dense over N.
+
+TPU-native replacement for the projection/culling stage of the reference's
+CUDA rasterizer (``diff-gaussian-rasterization-w-depth`` forward preprocess;
+consumed via ``gs-simp/gaussian_renderer/__init__.py:85-93``). Everything is
+a dense, vectorized map over the padded gaussian buffer — no warp-level
+anything; XLA fuses this into a handful of VPU loops.
+
+Conventions (matching the reference pipeline):
+- view matrix is column-vector ``x_view = W @ [x;1]``, camera looks along +z;
+- frustum cull at ``z <= 0.2``;
+- 2D covariance = J W Sigma W^T J^T + 0.3 I (EWA low-pass), J the
+  perspective Jacobian with the 1.3*tan_fov frustum clamp on x/z, y/z;
+- radius = ceil(3 sqrt(lambda_max)), pixel center convention
+  ``pix = ((ndc+1)*size - 1)/2``;
+- SH colors evaluated along campos->gaussian dirs, clamped at 0
+  (``max(rgb+0.5, 0)``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ...utils import sh as sh_utils
+from ...utils.quaternion import covariance_from_scaling_rotation
+
+
+class ProjectedGaussians(NamedTuple):
+    means2d: jnp.ndarray   # [N, 2] pixel coords
+    conic: jnp.ndarray     # [N, 3] inverse 2D covariance (a, b, c)
+    depth: jnp.ndarray     # [N] view-space z
+    radius: jnp.ndarray    # [N] int32 pixel radius (0 = culled)
+    color: jnp.ndarray     # [N, 3] RGB from SH
+    opacity: jnp.ndarray   # [N] activated opacity, 0 for culled/dead
+
+
+def project_gaussians(
+    xyz: jnp.ndarray,            # [N, 3]
+    features: jnp.ndarray,       # [N, K, 3] SH stack (DC first)
+    opacity: jnp.ndarray,        # [N] activated (sigmoid) opacity
+    scaling: jnp.ndarray,        # [N, 3] activated (exp) scale
+    rotation: jnp.ndarray,       # [N, 4] normalized quaternion
+    live: jnp.ndarray,           # [N] bool
+    world_view: jnp.ndarray,     # [4, 4]
+    full_proj: jnp.ndarray,      # [4, 4]
+    campos: jnp.ndarray,         # [3]
+    tan_fovx: float, tan_fovy: float,
+    width: int, height: int,
+    sh_degree: int,
+    scaling_modifier: float = 1.0,
+    means2d_offset: jnp.ndarray | None = None,
+) -> ProjectedGaussians:
+    """Dense projection of all (padded) gaussians for one camera.
+
+    ``means2d_offset`` [N,2] (pixels) is added to the projected centers; pass
+    zeros and differentiate w.r.t. it to recover the screen-space mean
+    gradients that drive densification (the reference's
+    ``screenspace_points`` trick, ``gaussian_renderer/__init__.py:26-30``).
+    """
+    n = xyz.shape[0]
+    f32 = jnp.float32
+    xyz = xyz.astype(f32)
+
+    # View-space position.
+    t = xyz @ world_view[:3, :3].T + world_view[:3, 3]
+    tz = t[:, 2]
+    in_front = tz > 0.2
+
+    # Clip-space -> pixel centers.
+    ph = xyz @ full_proj[:3, :3].T + full_proj[:3, 3]
+    pw = xyz @ full_proj[3, :3].T + full_proj[3, 3]
+    inv_w = 1.0 / (pw + 1e-7)
+    ndc = ph[:, :2] * inv_w[:, None]
+    means2d = jnp.stack([((ndc[:, 0] + 1) * width - 1) * 0.5,
+                         ((ndc[:, 1] + 1) * height - 1) * 0.5], axis=-1)
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+
+    # EWA: 2D covariance.
+    cov3d = covariance_from_scaling_rotation(
+        scaling.astype(f32), rotation.astype(f32), scaling_modifier)
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+    limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
+    txz = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
+    tyz = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
+    inv_z = 1.0 / tz
+    # J rows: d(pix)/d(view); [N, 2, 3]
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack([
+        jnp.stack([focal_x * inv_z, zeros, -focal_x * txz * inv_z * inv_z],
+                  axis=-1),
+        jnp.stack([zeros, focal_y * inv_z, -focal_y * tyz * inv_z * inv_z],
+                  axis=-1),
+    ], axis=-2)
+    W = world_view[:3, :3]  # [3,3]
+    M = J @ W  # [N, 2, 3]
+    cov2d = M @ cov3d @ jnp.swapaxes(M, -1, -2)  # [N, 2, 2]
+    a = cov2d[:, 0, 0] + 0.3
+    c = cov2d[:, 1, 1] + 0.3
+    b = cov2d[:, 0, 1]
+
+    det = a * c - b * b
+    det_ok = det > 0.0
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+
+    visible = in_front & det_ok & live
+    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    # SH -> RGB along viewing directions.
+    dirs = xyz - campos
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+    # features [N, K, 3] -> eval wants [N, 3, K]
+    rgb = sh_utils.eval_sh(sh_degree, jnp.swapaxes(features, -1, -2), dirs)
+    color = jnp.maximum(rgb + 0.5, 0.0)
+
+    return ProjectedGaussians(
+        means2d=means2d,
+        conic=conic,
+        depth=tz,
+        radius=radius,
+        color=color,
+        opacity=jnp.where(visible, opacity.astype(f32), 0.0),
+    )

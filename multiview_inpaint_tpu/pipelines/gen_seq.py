@@ -1,0 +1,130 @@
+"""Orbit sequence + box masks generation — reference ``gen_seq.py``.
+
+For each orbit mode (x1, x2) renders the 14-frame sequence around the
+insertion OBB and writes the directory contract consumed by the multi-view
+inpainting stage:
+
+    inpaint/seq/<scene_case>/<mode>/ours_<iter>/
+        renders/NN.png   masked/NN.png   mask/NN.png
+        poses.npy (c2w per frame)   cam_center.npy (box center)
+
+plus ``bds_train`` masks for the real training views. Mask semantics are
+the reference's exactly (``gen_seq.py:50``): box is visible where the ray
+hits it closer than the rendered surface, or the pixel is empty
+(depth == 15 sentinel).
+
+    python -m multiview_inpaint_tpu.pipelines.gen_seq \
+        --scene_id <scene>_<case> -m output/<scene> -s dataset/<scene>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.registries import ORBIT_PARAMS
+from ..gs import obb as obb_mod
+from ..gs import scene_io
+from ..gs.cameras import get_rays
+from ..gs.scene import Scene, Workspace, orbit_cameras
+from ..ops.rasterizer import DEPTH_EMPTY, RenderCamera, render
+from . import common
+
+
+def render_sequence(views, params, box, out_dir, bg, sh_degree=0,
+                    max_per_tile=1024, pair_budget_mult=8,
+                    save_poses=True, use_image_name=True):
+    os.makedirs(os.path.join(out_dir, "renders"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "mask"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "masked"), exist_ok=True)
+    poses = []
+    for idx, view in enumerate(views):
+        v_id = view.image_name if use_image_name else f"{idx:02d}"
+        poses.append(view.camera_to_world)
+        out = render(params, RenderCamera.from_camera(view), bg,
+                     sh_degree=sh_degree, max_per_tile=max_per_tile,
+                     pair_budget=pair_budget_mult * params.capacity)
+        rays_o, rays_d = get_rays(view)
+        _, t, _ = obb_mod.intersect(box, jnp.asarray(rays_o),
+                                    jnp.asarray(rays_d))
+        t_img = np.asarray(t).reshape(view.height, view.width)
+        depth = np.asarray(out.depth)
+        mask = ((t_img > 0) & ((t_img < depth) | (depth == DEPTH_EMPTY))
+                ).astype(np.float32)
+        rgb = np.asarray(out.rgb)
+        scene_io.save_image(os.path.join(out_dir, "renders",
+                                         f"{v_id}.png"), rgb)
+        scene_io.save_image(os.path.join(out_dir, "mask", f"{v_id}.png"),
+                            mask)
+        scene_io.save_image(os.path.join(out_dir, "masked", f"{v_id}.png"),
+                            rgb * (1 - mask[..., None]) + mask[..., None])
+    if save_poses:
+        np.save(os.path.join(out_dir, "cam_center.npy"),
+                np.asarray(box.center, np.float32)[None])
+        np.save(os.path.join(out_dir, "poses.npy"),
+                np.stack(poses).astype(np.float32))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    common.add_model_args(parser)
+    parser.add_argument("--scene_id", required=True,
+                        help="<scene>_<case>")
+    common.add_registry_arg(parser)
+    parser.add_argument("--iteration", type=int, default=-1)
+    parser.add_argument("--workspace", default=".")
+    parser.add_argument("--modes", nargs="+", default=["x1", "x2"])
+    parser.add_argument("--frames", type=int, default=14)
+    parser.add_argument("--sds", action="store_true",
+                        help="render the coarse SDS model sequence "
+                             "(reads output_sds, writes inpaint_sds)")
+    parser.add_argument("--max_per_tile", type=int, default=1024)
+    args = parser.parse_args(argv)
+    common.apply_registry(args)
+
+    ws = Workspace(args.workspace)
+    scene = Scene(args.source_path, args.model_path,
+                  resolution=args.resolution, max_sh_degree=args.sh_degree,
+                  shuffle=False, load_iteration=args.iteration,
+                  workspace=ws)
+    # model dir is output/<scene>; outputs keyed by <scene>_<case>
+    scene.scene_name = args.scene_id
+    iteration = scene.loaded_iteration or args.iteration
+    box = obb_mod.load_obb(ws.bds_add(args.scene_id))
+    actual_scene = args.scene_id.split("_")[0]
+    orbit = ORBIT_PARAMS.get(actual_scene)
+    bg = common.default_background(args.white_background)
+    front = scene.front_view()
+
+    seq_root = "inpaint_sds" if args.sds else "inpaint"
+    for mode in args.modes:
+        views = orbit_cameras(
+            front, box, mode=mode, frames=args.frames,
+            view_range=orbit.view_range if orbit else np.pi / 3,
+            r_scale=orbit.r_scale if orbit else 1.0,
+            k_lift=orbit.k_lift if orbit else 0.0,
+            k_bias=orbit.k_bias if orbit else 0.0)
+        out_dir = os.path.join(args.workspace, seq_root, "seq",
+                               args.scene_id, mode, f"ours_{iteration}")
+        render_sequence(views, scene.gaussians, box, out_dir, bg,
+                        sh_degree=args.sh_degree,
+                        max_per_tile=args.max_per_tile,
+                        use_image_name=True)
+        print(f"mode {mode}: {len(views)} frames -> {out_dir}")
+
+    if not args.sds:
+        out_dir = os.path.join(args.workspace, "inpaint", "seq",
+                               args.scene_id, "bds_train",
+                               f"ours_{iteration}")
+        render_sequence(scene.train_cameras(), scene.gaussians, box,
+                        out_dir, bg, sh_degree=args.sh_degree,
+                        max_per_tile=args.max_per_tile, save_poses=False,
+                        use_image_name=True)
+        print(f"bds_train masks -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

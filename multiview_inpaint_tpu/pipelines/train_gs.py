@@ -1,0 +1,149 @@
+"""Background GS reconstruction CLI — reference ``gs-simp/train.py``.
+
+    python -m multiview_inpaint_tpu.pipelines.train_gs \
+        -s dataset/<scene> [-m output/<scene>] [--iterations 30000] ...
+
+Differences from the reference are TPU-idiomatic, not behavioral: the
+training step is one jitted function; densification edits fixed-capacity
+buffers (capacity doubles on pressure instead of reallocating); checkpoints
+are PLY (inter-stage contract, ``--save_iterations``) plus full-state npz
+(``--checkpoint_iterations`` / ``--start_checkpoint``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gs import checkpoint as ckpt_mod
+from ..gs.scene import Scene
+from ..models import gs_trainer
+from ..ops.rasterizer import RenderCamera, render
+from ..utils import losses as loss_utils
+from ..utils.logging import RunLogger
+from . import common
+
+
+def train(args) -> None:
+    logger = None
+    model_path = args.model_path or os.path.join(
+        "./output", os.path.basename(args.source_path.rstrip("/")))
+    args.model_path = model_path
+    os.makedirs(model_path, exist_ok=True)
+    common.dump_cfg(model_path, args)
+    logger = RunLogger(model_path)
+
+    scene = Scene(args.source_path, model_path, resolution=args.resolution,
+                  eval_split=args.eval, max_sh_degree=args.sh_degree,
+                  white_background=args.white_background,
+                  capacity=args.capacity, seed=0)
+    cfg = common.optimization_config_from(args)
+    bg = common.default_background(args.white_background)
+
+    if args.start_checkpoint:
+        state = ckpt_mod.load_train_state(args.start_checkpoint)
+        first_iter = int(state.step)
+    else:
+        state = gs_trainer.init_state(scene.gaussians)
+        first_iter = 0
+
+    spatial = scene.cameras_extent
+    rng = random.Random(0)
+    key = jax.random.key(0)
+    sh_degree = 0  # raised every 1000 iters up to max (oneupSHdegree)
+    stack = []
+    t_start = time.time()
+    for iteration in range(first_iter + 1, cfg.iterations + 1):
+        if not stack:
+            stack = list(scene.train_cameras())
+            rng.shuffle(stack)
+        cam = stack.pop()
+        if iteration % 1000 == 0:
+            sh_degree = min(sh_degree + 1, args.sh_degree)
+        rcam = RenderCamera.from_camera(cam)
+        gt = jnp.asarray(cam.image)
+        state, metrics = gs_trainer.train_step(
+            state, rcam, gt, bg, cfg, spatial_lr_scale=spatial,
+            sh_degree=sh_degree, max_per_tile=args.max_per_tile,
+            pair_budget_mult=args.pair_budget_mult)
+        key, sub = jax.random.split(key)
+        state, info = gs_trainer.maybe_densify(state, sub, cfg, spatial,
+                                               iteration)
+        state = gs_trainer.grow_if_needed(state, info)
+
+        if iteration % args.log_interval == 0:
+            logger.log(iteration, loss=metrics.loss, l1=metrics.l1,
+                       points=int(metrics.num_live),
+                       capacity=state.params.capacity,
+                       it_per_s=args.log_interval / max(
+                           time.time() - t_start, 1e-9), **(info or {}))
+            t_start = time.time()
+        if iteration in args.test_iterations:
+            _report(scene, state, bg, sh_degree, iteration, logger, args)
+        if iteration in args.save_iterations:
+            path = scene.save(state.params, iteration)
+            logger.echo(f"[ITER {iteration}] saved {path}")
+        if iteration in args.checkpoint_iterations:
+            p = os.path.join(model_path, f"chkpnt{iteration}.npz")
+            ckpt_mod.save_train_state(p, state)
+            logger.echo(f"[ITER {iteration}] checkpoint {p}")
+    logger.close()
+
+
+def _report(scene, state, bg, sh_degree, iteration, logger, args):
+    for split, cams in (("test", scene.test_cameras()),
+                        ("train", scene.train_cameras()[:5])):
+        if not cams:
+            continue
+        psnrs, l1s = [], []
+        for cam in cams:
+            out = render(state.params, RenderCamera.from_camera(cam), bg,
+                         sh_degree=sh_degree,
+                         max_per_tile=args.max_per_tile,
+                         pair_budget=args.pair_budget_mult
+                         * state.params.capacity)
+            pred = jnp.clip(out.rgb, 0, 1)
+            gt = jnp.asarray(cam.image)
+            l1s.append(float(loss_utils.l1_loss(pred, gt)))
+            psnrs.append(float(loss_utils.psnr(
+                jnp.transpose(pred, (2, 0, 1))[None],
+                jnp.transpose(gt, (2, 0, 1))[None])[0, 0, 0, 0]))
+        logger.log(iteration, split=split, psnr=np.mean(psnrs),
+                   eval_l1=np.mean(l1s))
+        logger.echo(f"[ITER {iteration}] {split}: "
+                    f"L1 {np.mean(l1s):.4f} PSNR {np.mean(psnrs):.2f}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    common.add_model_args(parser)
+    common.add_optimization_args(parser)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--capacity", type=int, default=None)
+    parser.add_argument("--max_per_tile", type=int, default=1024)
+    parser.add_argument("--pair_budget_mult", type=int, default=8)
+    parser.add_argument("--log_interval", type=int, default=100)
+    parser.add_argument("--detect_anomaly", action="store_true")
+    args = parser.parse_args(argv)
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+    if not args.save_iterations or args.iterations not in args.save_iterations:
+        args.save_iterations = list(args.save_iterations) + [args.iterations]
+    train(args)
+
+
+if __name__ == "__main__":
+    main()

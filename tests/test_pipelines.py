@@ -1,0 +1,145 @@
+"""End-to-end pipeline CLI smoke tests on a synthetic COLMAP scene."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import fixtures
+from multiview_inpaint_tpu.pipelines import (delete, gen_pc, gen_seq,
+                                             render as render_cli,
+                                             render_depth, train_gs)
+from multiview_inpaint_tpu.config.registries import FRONT_VIEWS
+from multiview_inpaint_tpu.gs import gaussians
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ws")
+    src = str(root / "dataset" / "toy")
+    fixtures.make_colmap_scene(src)
+    model = str(root / "output" / "toy")
+    # train briefly
+    train_gs.main([
+        "-s", src, "-m", model, "--resolution", "1",
+        "--iterations", "60", "--densify_from_iter", "20",
+        "--densify_until_iter", "50", "--densification_interval", "20",
+        "--opacity_reset_interval", "100000",
+        "--test_iterations", "60", "--save_iterations", "60",
+        "--checkpoint_iterations", "60",
+        "--max_per_tile", "256", "--log_interval", "20",
+    ])
+    FRONT_VIEWS["toy"] = "view00"
+    yield {"root": str(root), "src": src, "model": model}
+    FRONT_VIEWS.pop("toy", None)
+
+
+def test_train_outputs(workspace):
+    model = workspace["model"]
+    ply = os.path.join(model, "point_cloud", "iteration_60",
+                       "point_cloud.ply")
+    assert os.path.exists(ply)
+    p = gaussians.load_ply(ply, 0)
+    assert int(p.num_live()) > 0
+    assert os.path.exists(os.path.join(model, "chkpnt60.npz"))
+    log = [json.loads(l) for l in
+           open(os.path.join(model, "train_log.jsonl"))]
+    losses = [r["loss"] for r in log if "loss" in r]
+    assert losses[-1] < losses[0]
+    assert any("psnr" in r for r in log)
+
+
+def test_train_resume(workspace):
+    model = workspace["model"]
+    train_gs.main([
+        "-s", workspace["src"], "-m", model, "--resolution", "1",
+        "--iterations", "70", "--densify_from_iter", "100000",
+        "--start_checkpoint", os.path.join(model, "chkpnt60.npz"),
+        "--test_iterations", "-1", "--save_iterations", "70",
+        "--max_per_tile", "256",
+    ])
+    assert os.path.exists(os.path.join(model, "point_cloud",
+                                       "iteration_70", "point_cloud.ply"))
+
+
+def test_render_cli(workspace):
+    render_cli.main(["-s", workspace["src"], "-m", workspace["model"],
+                     "--resolution", "1", "--iteration", "60",
+                     "--max_per_tile", "256"])
+    rdir = os.path.join(workspace["model"], "train", "ours_60", "renders")
+    files = os.listdir(rdir)
+    assert len(files) == 6
+    from multiview_inpaint_tpu.gs import scene_io
+    img = scene_io.load_image(os.path.join(rdir, files[0]))
+    gt = scene_io.load_image(os.path.join(
+        workspace["model"], "train", "ours_60", "gt", files[0]))
+    assert np.abs(img - gt).mean() < 0.2  # smoke: 60 iters, roughly close
+
+
+def test_gen_pc_cli(workspace):
+    gen_pc.main(["-m", workspace["model"], "--iteration", "60"])
+    from multiview_inpaint_tpu.gs import ply_io
+    pts, cols, _ = ply_io.fetch_point_cloud(
+        os.path.join(workspace["model"], "xyz.ply"))
+    assert len(pts) > 0
+
+
+def test_delete_cli(workspace, tmp_path):
+    box_path = str(tmp_path / "del_toy.obj")
+    fixtures.write_cube_obj(box_path, center=(0, 0, 0), half=0.4)
+    before = gaussians.load_ply(
+        os.path.join(workspace["model"], "point_cloud", "iteration_60",
+                     "point_cloud.ply"), 0)
+    delete.main(["-m", workspace["model"], "--box", box_path,
+                 "--iteration", "60"])
+    after_path = os.path.join(workspace["model"], "point_cloud", "del",
+                              "point_cloud.ply")
+    after = gaussians.load_ply(after_path, 0)
+    assert 0 < after.capacity < before.capacity
+    # no remaining point is inside the box
+    import jax.numpy as jnp
+    from multiview_inpaint_tpu.gs import obb
+    box = obb.load_obb(box_path)
+    assert not np.any(np.asarray(obb.contains(box, jnp.asarray(
+        np.asarray(after.xyz)))))
+
+
+def test_gen_seq_cli(workspace, tmp_path):
+    ws_root = workspace["root"]
+    box_path = os.path.join(ws_root, "bds", "add", "toy_case.obj")
+    fixtures.write_cube_obj(box_path, center=(0.2, 0.1, 0), half=0.3)
+    gen_seq.main(["-s", workspace["src"], "-m", workspace["model"],
+                  "--scene_id", "toy_case", "--resolution", "1",
+                  "--iteration", "60", "--workspace", ws_root,
+                  "--frames", "4", "--max_per_tile", "256"])
+    for mode in ("x1", "x2"):
+        d = os.path.join(ws_root, "inpaint", "seq", "toy_case", mode,
+                         "ours_60")
+        assert len(os.listdir(os.path.join(d, "renders"))) == 4
+        assert len(os.listdir(os.path.join(d, "mask"))) == 4
+        poses = np.load(os.path.join(d, "poses.npy"))
+        assert poses.shape == (4, 4, 4)
+        center = np.load(os.path.join(d, "cam_center.npy"))
+        np.testing.assert_allclose(center[0], [0.2, 0.1, 0], atol=1e-5)
+        # masks nonempty somewhere in the sequence
+        from multiview_inpaint_tpu.gs import scene_io
+        total = sum(scene_io.load_image(
+            os.path.join(d, "mask", f), grayscale=True).sum()
+            for f in os.listdir(os.path.join(d, "mask")))
+        assert total > 0
+    # bds_train masks for the 6 original views
+    bt = os.path.join(ws_root, "inpaint", "seq", "toy_case", "bds_train",
+                      "ours_60")
+    assert len(os.listdir(os.path.join(bt, "mask"))) == 6
+
+
+def test_render_depth_cli(workspace):
+    ws_root = workspace["root"]
+    render_depth.main(["-s", workspace["src"], "-m", workspace["model"],
+                       "--scene_id", "toy_case", "--resolution", "1",
+                       "--iteration", "60", "--workspace", ws_root,
+                       "--frames", "2", "--modes", "x1"])
+    d = os.path.join(ws_root, "inpaint", "seq", "toy_case", "x1",
+                     "ours_60", "disp")
+    assert len(os.listdir(d)) == 2

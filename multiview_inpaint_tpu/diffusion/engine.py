@@ -1,0 +1,235 @@
+"""SVDEngine — the paper's ControlNet-augmented multi-view SVD model.
+
+Capability parity with ``models/csvd.py`` SVDEngine (:1018-1464) and the
+DiffusionEngine plumbing (``sgm/models/diffusion.py``), functional-style:
+parameters live in an :class:`EngineState` pytree, all compute paths are
+pure jitted functions.
+
+- ``apply_model`` (:1086-1152): concat [x, cond_concat] (4+4 ch), run the
+  ControlNet on the 7-ch hint, feed its 13 residuals (x control_scales)
+  into the UNet.
+- ``denoise``: v-scaling with EDM c_noise around ``apply_model``.
+- ``sample`` (:1258-1277): randn latents -> 25-step Euler-EDM with the
+  per-frame LinearPredictionGuider (sigma_max 700).
+- ControlNet-only training (``configure_optimizers`` :1215-1241 with
+  sd_locked): the train step differentiates w.r.t. controlnet params only.
+- ``init_controlnet_from_unet`` == ``init_from_unet``: encoder weights
+  copied from the UNet trunk, hint block + zero convs fresh.
+- first stage: KL-VAE encode (scale 0.18215) / VideoDecoder decode, both
+  chunked at the caller's discretion (XLA handles the batch fine on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+
+from . import edm, losses as loss_mod, samplers
+from .clip_vit import CLIPVisionTower, ViTConfig
+from .conditioners import Conditioner, ConditionerConfig, repeat_cond_per_frame
+from .controlnet import ControlNet
+from .guiders import LinearPredictionGuider
+from .unet import UNetConfig, VideoUNet
+from .vae import AutoencoderKL, VAEConfig
+
+SCALE_FACTOR = 0.18215
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    unet: UNetConfig = UNetConfig()
+    vae: VAEConfig = VAEConfig()
+    vit: ViTConfig = ViTConfig()
+    hint_channels: int = 7
+    num_frames: int = 14
+    num_steps: int = 25
+    sigma_max: float = 700.0
+    sigma_min: float = 0.002
+    cfg_min: float = 1.0
+    cfg_max: float = 2.5
+    control_scales: float = 1.0
+    scaling: str = "v_edm_cnoise"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EngineState:
+    unet: dict          # frozen (sd_locked)
+    controlnet: dict    # trainable
+    vae: dict           # frozen
+    clip: dict          # frozen
+
+
+def build_models(cfg: EngineConfig):
+    return (VideoUNet(cfg.unet), ControlNet(cfg.unet, cfg.hint_channels),
+            AutoencoderKL(cfg.vae), CLIPVisionTower(cfg.vit))
+
+
+def init_engine(cfg: EngineConfig, key: jax.Array,
+                latent_hw: Tuple[int, int] = (64, 48),
+                image_hw: Tuple[int, int] = (512, 384)) -> EngineState:
+    unet, cnet, vae, clip = build_models(cfg)
+    t = 2  # tiny time axis is enough to create every parameter
+    kh, kw = latent_hw
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x = jnp.zeros((t, kh, kw, 8))
+    hint = jnp.zeros((t, kh * 8, kw * 8, cfg.hint_channels))
+    ts = jnp.zeros((t,))
+    ctx = jnp.zeros((t, 1, cfg.unet.context_dim))
+    y = jnp.zeros((t, cfg.unet.adm_in_channels))
+    ind = jnp.zeros((t // t, t))
+    unet_p = unet.init(k1, x, ts, ctx, y, num_video_frames=t,
+                       image_only_indicator=ind)["params"]
+    cnet_p = cnet.init(k2, x, hint, ts, ctx, y, num_video_frames=t,
+                       image_only_indicator=ind)["params"]
+    vae_p = vae.init(k3, jnp.zeros((1, 64, 64, 3)))["params"]
+    clip_p = clip.init(k4, jnp.zeros((1, 64, 64, 3)))["params"]
+    state = EngineState(unet=unet_p, controlnet=cnet_p, vae=vae_p,
+                        clip=clip_p)
+    return init_controlnet_from_unet(state)
+
+
+def init_controlnet_from_unet(state: EngineState) -> EngineState:
+    """Copy UNet encoder/middle weights into the ControlNet trunk
+    (``init_from_unet``, csvd.py:1046-1054)."""
+    trunk = dict(flax.core.unfreeze(state.controlnet)["trunk"])
+    unet_p = flax.core.unfreeze(state.unet)
+    for k in trunk:
+        if k in unet_p:
+            trunk[k] = jax.tree_util.tree_map(jnp.array, unet_p[k])
+    cnet = dict(flax.core.unfreeze(state.controlnet))
+    cnet["trunk"] = trunk
+    return dataclasses.replace(state, controlnet=cnet)
+
+
+class SVDEngine:
+    """Thin functional wrapper binding configs + module defs."""
+
+    def __init__(self, cfg: EngineConfig = EngineConfig()):
+        self.cfg = cfg
+        self.unet, self.controlnet, self.vae, self.clip = build_models(cfg)
+        self.guider = LinearPredictionGuider(
+            max_scale=cfg.cfg_max, min_scale=cfg.cfg_min,
+            num_frames=cfg.num_frames,
+            additional_cond_keys=("control_hint",))
+
+    # --- first stage ---------------------------------------------------
+    def encode_first_stage(self, state: EngineState, x: jnp.ndarray,
+                           sample_key: Optional[jax.Array] = None
+                           ) -> jnp.ndarray:
+        post = self.vae.apply({"params": state.vae}, x,
+                              method=AutoencoderKL.encode)
+        z = post.sample(sample_key) if sample_key is not None else \
+            post.mode()
+        return SCALE_FACTOR * z
+
+    def decode_first_stage(self, state: EngineState, z: jnp.ndarray,
+                           timesteps: int = 1) -> jnp.ndarray:
+        return self.vae.apply({"params": state.vae}, z / SCALE_FACTOR,
+                              timesteps, method=AutoencoderKL.decode)
+
+    def clip_embed(self, state: EngineState, frames: jnp.ndarray):
+        return self.clip.apply({"params": state.clip}, frames)
+
+    def conditioner(self, state: EngineState) -> Conditioner:
+        return Conditioner(
+            clip_embed=lambda f: self.clip_embed(state, f),
+            vae_encode_mode=lambda f: self.encode_first_stage(
+                state, f) / SCALE_FACTOR,
+        )
+
+    # --- core denoising path -------------------------------------------
+    def apply_model(self, state: EngineState, x: jnp.ndarray,
+                    t_noise: jnp.ndarray, cond: Dict) -> jnp.ndarray:
+        """x [(b t), h, w, 4] scaled latents; cond holds per-frame
+        crossattn/vector/concat + control_hint (image resolution)."""
+        cfg = self.cfg
+        t = cfg.num_frames
+        bt = x.shape[0]
+        ind = jnp.zeros((bt // t, t))
+        xc = jnp.concatenate([x, cond["concat"]], axis=-1)
+        control = self.controlnet.apply(
+            {"params": state.controlnet}, xc, cond["control_hint"],
+            t_noise, cond.get("crossattn"), cond.get("vector"),
+            num_video_frames=t, image_only_indicator=ind)
+        control = [c * cfg.control_scales for c in control]
+        return self.unet.apply(
+            {"params": state.unet}, xc, t_noise, cond.get("crossattn"),
+            cond.get("vector"), num_video_frames=t,
+            image_only_indicator=ind, control=control)
+
+    def denoise_fn(self, state: EngineState):
+        def net_apply_factory(cond):
+            def net(x_scaled, c_noise):
+                return self.apply_model(state, x_scaled, c_noise, cond)
+            return net
+
+        def denoise(x, sigmas, cond):
+            return edm.denoise(net_apply_factory(cond), x, sigmas,
+                               scaling=self.cfg.scaling)
+        return denoise
+
+    def inv_denoise_fn(self, state: EngineState):
+        def denoise(x, sigmas, cond):
+            def net(x_scaled, c_noise):
+                return self.apply_model(state, x_scaled, c_noise, cond)
+            return edm.raw_net_out(net, x, sigmas, scaling=self.cfg.scaling)
+        return denoise
+
+    # --- sampling --------------------------------------------------------
+    def sample(self, state: EngineState, key: jax.Array, cond: Dict,
+               uc: Dict, latent_shape: Tuple[int, ...],
+               num_steps: Optional[int] = None) -> jnp.ndarray:
+        cfg = self.cfg
+        sigmas = edm.edm_sigmas(num_steps or cfg.num_steps,
+                                cfg.sigma_min, cfg.sigma_max)
+        sigmas = jnp.concatenate([sigmas, jnp.zeros((1,))])
+        k1, k2 = jax.random.split(key)
+        x = jax.random.normal(k1, latent_shape)
+
+        def denoise(gx, gs, gc):
+            return self.denoise_fn(state)(gx, gs, gc)
+
+        return samplers.euler_edm_sample(denoise, x, cond, uc, sigmas,
+                                         guider=self.guider, key=k2)
+
+    def sample_blended(self, state: EngineState, key: jax.Array,
+                       cond: Dict, uc: Dict, z: jnp.ndarray,
+                       mask: jnp.ndarray,
+                       num_steps: Optional[int] = None) -> jnp.ndarray:
+        """VideoDiffusionEngine2's latent-blending sampling path."""
+        cfg = self.cfg
+        sigmas = edm.edm_sigmas(num_steps or cfg.num_steps,
+                                cfg.sigma_min, cfg.sigma_max)
+        sigmas = jnp.concatenate([sigmas, jnp.zeros((1,))])
+        k1, k2 = jax.random.split(key)
+        x = jax.random.normal(k1, z.shape)
+        return samplers.euler_edm_sample_blended(
+            self.denoise_fn(state), x, cond, uc, sigmas, z, mask,
+            guider=self.guider, key=k2)
+
+    # --- training --------------------------------------------------------
+    def loss(self, state: EngineState, key: jax.Array,
+             latents: jnp.ndarray, cond: Dict,
+             warp: Optional[Dict] = None) -> jnp.ndarray:
+        return jnp.mean(loss_mod.inpaint_diffusion_loss(
+            self.denoise_fn(state), key, latents, cond,
+            num_video_frames=self.cfg.num_frames, warp=warp))
+
+    def prepare_cond(self, state: EngineState, batch: Dict,
+                     key: Optional[jax.Array] = None,
+                     unconditional: bool = False) -> Dict:
+        """Batch (per-video) -> per-frame conditioning dict incl. the
+        control hint."""
+        conditioner = self.conditioner(state)
+        c = conditioner(batch, force_zero=unconditional, key=key)
+        t = self.cfg.num_frames
+        c = repeat_cond_per_frame(c, t, keys=("crossattn", "concat",
+                                              "vector"))
+        c["control_hint"] = batch["control_hint"]  # already per-frame
+        return c

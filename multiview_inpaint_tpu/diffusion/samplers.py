@@ -1,0 +1,281 @@
+"""Diffusion samplers as jitted ``lax.scan`` loops.
+
+Parity with ``sgm/modules/diffusionmodules/sampling.py`` at the
+capabilities the pipeline uses:
+
+- :func:`euler_edm_sample` — EulerEDMSampler (gamma-churn Euler over the
+  Karras sigma schedule; the paper's 25-step inference sampler),
+- :func:`euler_edm_sample_blended` — EulerEDMSampler2 (per-step latent
+  blending ``x = x*mask + (z + noise*sigma)*(1-mask)``),
+- :func:`euler_edm_sample_inversion` — EulerEDMSampler3 (a DDIM-style
+  inversion pass with the exact (sigma^2+1) rescaling, then blended
+  resampling against the inverted latents),
+- :func:`heun_edm_sample` — EDM Heun correction step,
+- :func:`euler_ancestral_sample` and :func:`dpmpp2m_sample` — the stock
+  ancestral / multistep alternatives.
+
+``denoise_fn(x, sigma_vec, cond) -> denoised`` closes over network params;
+each sampler composes it with a guider's prepare/combine. The whole loop
+is one XLA program: no host round trips between steps.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .guiders import IdentityGuider
+
+
+def _bdims(s, x):
+    return s.reshape(s.shape + (1,) * (x.ndim - 1))
+
+
+def _to_d(x, sigma, denoised):
+    return (x - denoised) / _bdims(sigma, x)
+
+
+def _guided_denoise(denoise_fn, guider, x, sigma_vec, cond, uc):
+    gx, gs, gc = guider.prepare(x, sigma_vec, cond, uc)
+    return guider.combine(denoise_fn(gx, gs, gc), sigma_vec)
+
+
+def prepare_x(x, sigmas):
+    """The reference's prepare_sampling_loop scaling: x *= sqrt(1+s0^2)."""
+    return x * jnp.sqrt(1.0 + sigmas[0] ** 2)
+
+
+def _gammas(sigmas, s_churn, s_tmin, s_tmax):
+    n = sigmas.shape[0] - 1
+    g = jnp.minimum(s_churn / jnp.maximum(n - 1, 1), 2 ** 0.5 - 1)
+    inside = (sigmas[:-1] >= s_tmin) & (sigmas[:-1] <= s_tmax)
+    return jnp.where(inside, g, 0.0)
+
+
+def euler_edm_sample(denoise_fn: Callable, x: jnp.ndarray, cond: Dict,
+                     uc: Optional[Dict], sigmas: jnp.ndarray,
+                     guider=IdentityGuider(), key: Optional[jax.Array] = None,
+                     s_churn: float = 0.0, s_tmin: float = 0.0,
+                     s_tmax: float = float("inf"),
+                     s_noise: float = 1.0) -> jnp.ndarray:
+    """sigmas: [n+1] descending ending in 0 (append 0 to edm_sigmas)."""
+    uc = cond if uc is None else uc
+    x = prepare_x(x, sigmas)
+    b = x.shape[0]
+    gammas = _gammas(sigmas, s_churn, s_tmin, s_tmax)
+    key = jax.random.key(0) if key is None else key
+
+    def step(carry, inp):
+        x, k = carry
+        sigma, next_sigma, gamma = inp
+        k, sub = jax.random.split(k)
+        sigma_hat = sigma * (gamma + 1.0)
+        eps = jax.random.normal(sub, x.shape, x.dtype) * s_noise
+        x = jnp.where(gamma > 0,
+                      x + eps * jnp.sqrt(jnp.maximum(
+                          sigma_hat ** 2 - sigma ** 2, 0.0)), x)
+        s_vec = jnp.full((b,), sigma_hat, x.dtype)
+        denoised = _guided_denoise(denoise_fn, guider, x, s_vec, cond, uc)
+        d = _to_d(x, s_vec, denoised)
+        x = x + (next_sigma - sigma_hat) * d
+        return (x, k), None
+
+    (x, _), _ = jax.lax.scan(
+        step, (x, key), (sigmas[:-1], sigmas[1:], gammas))
+    return x
+
+
+def heun_edm_sample(denoise_fn, x, cond, uc, sigmas,
+                    guider=IdentityGuider(), key=None, s_churn=0.0,
+                    s_tmin=0.0, s_tmax=float("inf"), s_noise=1.0):
+    uc = cond if uc is None else uc
+    x = prepare_x(x, sigmas)
+    b = x.shape[0]
+    gammas = _gammas(sigmas, s_churn, s_tmin, s_tmax)
+    key = jax.random.key(0) if key is None else key
+
+    def step(carry, inp):
+        x, k = carry
+        sigma, next_sigma, gamma = inp
+        k, sub = jax.random.split(k)
+        sigma_hat = sigma * (gamma + 1.0)
+        eps = jax.random.normal(sub, x.shape, x.dtype) * s_noise
+        x = jnp.where(gamma > 0,
+                      x + eps * jnp.sqrt(jnp.maximum(
+                          sigma_hat ** 2 - sigma ** 2, 0.0)), x)
+        s_vec = jnp.full((b,), sigma_hat, x.dtype)
+        denoised = _guided_denoise(denoise_fn, guider, x, s_vec, cond, uc)
+        d = _to_d(x, s_vec, denoised)
+        dt = next_sigma - sigma_hat
+        x_e = x + dt * d
+        # Heun correction, skipped on the final (sigma -> 0) step.
+        ns_vec = jnp.full((b,), jnp.maximum(next_sigma, 1e-9), x.dtype)
+        den2 = _guided_denoise(denoise_fn, guider, x_e, ns_vec, cond, uc)
+        d2 = _to_d(x_e, ns_vec, den2)
+        x_h = x + dt * 0.5 * (d + d2)
+        x = jnp.where(next_sigma > 0, x_h, x_e)
+        return (x, k), None
+
+    (x, _), _ = jax.lax.scan(
+        step, (x, key), (sigmas[:-1], sigmas[1:], gammas))
+    return x
+
+
+def euler_edm_sample_blended(denoise_fn, x, cond, uc, sigmas, z, mask,
+                             guider=IdentityGuider(), key=None,
+                             s_churn=0.0, s_tmin=0.0,
+                             s_tmax=float("inf"), s_noise=1.0):
+    """EulerEDMSampler2: renoise the background latents each step and blend
+    through the mask (mask==1 keeps the sampled region)."""
+    uc = cond if uc is None else uc
+    x = prepare_x(x, sigmas)
+    b = x.shape[0]
+    gammas = _gammas(sigmas, s_churn, s_tmin, s_tmax)
+    key = jax.random.key(0) if key is None else key
+
+    def step(carry, inp):
+        x, k = carry
+        sigma, next_sigma, gamma = inp
+        k, k1, k2 = jax.random.split(k, 3)
+        sigma_hat = sigma * (gamma + 1.0)
+        eps = jax.random.normal(k1, x.shape, x.dtype) * s_noise
+        x = jnp.where(gamma > 0,
+                      x + eps * jnp.sqrt(jnp.maximum(
+                          sigma_hat ** 2 - sigma ** 2, 0.0)), x)
+        noise = jax.random.normal(k2, z.shape, z.dtype)
+        noised_z = z + noise * sigma_hat
+        x = x * mask + noised_z * (1.0 - mask)
+        s_vec = jnp.full((b,), sigma_hat, x.dtype)
+        denoised = _guided_denoise(denoise_fn, guider, x, s_vec, cond, uc)
+        d = _to_d(x, s_vec, denoised)
+        x = x + (next_sigma - sigma_hat) * d
+        return (x, k), None
+
+    (x, _), _ = jax.lax.scan(
+        step, (x, key), (sigmas[:-1], sigmas[1:], gammas))
+    return x
+
+
+def euler_edm_sample_inversion(denoise_fn, inv_denoise_fn, x, cond, uc,
+                               sigmas, z, mask,
+                               guider=IdentityGuider(),
+                               inv_guider=IdentityGuider(), key=None,
+                               s_churn=0.0, s_tmin=0.0,
+                               s_tmax=float("inf"), s_noise=1.0):
+    """EulerEDMSampler3: DDIM-style inversion of the background latents up
+    the sigma ladder, then blended resampling against the per-step
+    inverted latents.
+
+    ``inv_denoise_fn`` receives raw net output semantics (the reference's
+    ``Denoiser.inv_sample``); the inversion recurrence uses the exact
+    (sigma^2+1) rescaling (``sampling.py:248-258``).
+    """
+    uc = cond if uc is None else uc
+    b = x.shape[0]
+
+    # --- inversion: sigmas[-i-1] -> sigmas[-i-2] over i = 0..n-1
+    def inv_step(x_inv, inp):
+        sigma, next_sigma = inp
+        s_vec = jnp.full((b,), next_sigma, x.dtype)
+        gx, gs, gc = inv_guider.prepare(x_inv, s_vec, cond, uc)
+        denoised = inv_guider.combine(inv_denoise_fn(gx, gs, gc), s_vec)
+        x_scale = (next_sigma ** 2 + 1) / (sigma * next_sigma + 1)
+        y_scale = ((next_sigma - sigma) * jnp.sqrt(next_sigma ** 2 + 1)
+                   / (sigma * next_sigma + 1))
+        x_inv = x_scale * x_inv + y_scale * denoised
+        return x_inv, x_inv
+
+    inv_pairs = (jnp.flip(sigmas)[:-1], jnp.flip(sigmas)[1:])
+    _, inversion_z = jax.lax.scan(inv_step, z, inv_pairs)
+    inversion_z = jnp.flip(inversion_z, axis=0)  # step i uses ladder top
+
+    # --- blended resampling
+    x = prepare_x(x, sigmas)
+    gammas = _gammas(sigmas, s_churn, s_tmin, s_tmax)
+    key = jax.random.key(0) if key is None else key
+
+    def step(carry, inp):
+        x, k = carry
+        sigma, next_sigma, gamma, z_i = inp
+        k, sub = jax.random.split(k)
+        sigma_hat = sigma * (gamma + 1.0)
+        eps = jax.random.normal(sub, x.shape, x.dtype) * s_noise
+        x = jnp.where(gamma > 0,
+                      x + eps * jnp.sqrt(jnp.maximum(
+                          sigma_hat ** 2 - sigma ** 2, 0.0)), x)
+        x = x * mask + z_i * (1.0 - mask)
+        s_vec = jnp.full((b,), sigma_hat, x.dtype)
+        gx, gs, gc = inv_guider.prepare(x, s_vec, cond, uc)
+        denoised = inv_guider.combine(denoise_fn(gx, gs, gc), s_vec)
+        d = _to_d(x, s_vec, denoised)
+        x = x + (next_sigma - sigma_hat) * d
+        return (x, k), None
+
+    (x, _), _ = jax.lax.scan(
+        step, (x, key), (sigmas[:-1], sigmas[1:], gammas, inversion_z))
+    return x
+
+
+def euler_ancestral_sample(denoise_fn, x, cond, uc, sigmas,
+                           guider=IdentityGuider(), key=None, eta=1.0,
+                           s_noise=1.0):
+    uc = cond if uc is None else uc
+    x = prepare_x(x, sigmas)
+    b = x.shape[0]
+    key = jax.random.key(0) if key is None else key
+
+    def step(carry, inp):
+        x, k = carry
+        sigma, next_sigma = inp
+        k, sub = jax.random.split(k)
+        sigma_up = jnp.minimum(
+            next_sigma,
+            eta * (next_sigma ** 2 * (sigma ** 2 - next_sigma ** 2)
+                   / jnp.maximum(sigma ** 2, 1e-12)) ** 0.5)
+        sigma_down = jnp.sqrt(jnp.maximum(
+            next_sigma ** 2 - sigma_up ** 2, 0.0))
+        s_vec = jnp.full((b,), sigma, x.dtype)
+        denoised = _guided_denoise(denoise_fn, guider, x, s_vec, cond, uc)
+        d = _to_d(x, s_vec, denoised)
+        x = x + (sigma_down - sigma) * d
+        noise = jax.random.normal(sub, x.shape, x.dtype) * s_noise
+        x = jnp.where(next_sigma > 0, x + noise * sigma_up, x)
+        return (x, k), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key), (sigmas[:-1], sigmas[1:]))
+    return x
+
+
+def dpmpp2m_sample(denoise_fn, x, cond, uc, sigmas,
+                   guider=IdentityGuider()):
+    """DPM-Solver++(2M) — deterministic multistep."""
+    uc = cond if uc is None else uc
+    x = prepare_x(x, sigmas)
+    b = x.shape[0]
+
+    def t_of(s):
+        return -jnp.log(jnp.maximum(s, 1e-10))
+
+    def step(carry, inp):
+        x, old_denoised, prev_sigma = carry
+        sigma, next_sigma = inp
+        s_vec = jnp.full((b,), sigma, x.dtype)
+        denoised = _guided_denoise(denoise_fn, guider, x, s_vec, cond, uc)
+        t, t_next = t_of(sigma), t_of(next_sigma)
+        h = t_next - t
+        x_std = (next_sigma / sigma) * x - jnp.expm1(-h) * denoised
+        h_last = t - t_of(prev_sigma)
+        r = h_last / jnp.where(h == 0, 1.0, h)
+        denoised_d = ((1 + 1 / (2 * r)) * denoised
+                      - (1 / (2 * r)) * old_denoised)
+        x_adv = (next_sigma / sigma) * x - jnp.expm1(-h) * denoised_d
+        use_multi = (prev_sigma > 0) & (next_sigma > 0)
+        x = jnp.where(next_sigma == 0, x_std,
+                      jnp.where(use_multi, x_adv, x_std))
+        return (x, denoised, sigma), None
+
+    init = (x, jnp.zeros_like(x), jnp.zeros((), x.dtype))
+    (x, _, _), _ = jax.lax.scan(step, init, (sigmas[:-1], sigmas[1:]))
+    return x

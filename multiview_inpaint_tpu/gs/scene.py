@@ -41,8 +41,20 @@ def _normalize(v):
 
 @dataclasses.dataclass(frozen=True)
 class Workspace:
-    """Directory contract of the pipeline (reference: cwd of gs-simp)."""
+    """Directory contract of the pipeline (reference: cwd of gs-simp).
+
+    ``inpaint`` is the hand-off directory shared with the SVD stage (the
+    reference soft-links ``gs-simp/inpaint`` as ``svd_inpaint1/gs``); set
+    it to an absolute path to point both sides at the same tree without a
+    symlink.
+    """
     root: str = "."
+    inpaint: str = "inpaint"
+
+    def _inp(self, *parts) -> str:
+        base = (self.inpaint if os.path.isabs(self.inpaint)
+                else os.path.join(self.root, self.inpaint))
+        return os.path.join(base, *parts)
 
     def bds_add(self, scene_case: str) -> str:
         return os.path.join(self.root, "bds", "add", f"{scene_case}.obj")
@@ -52,23 +64,19 @@ class Workspace:
 
     def seq_dir(self, scene_case: str, mode: str,
                 iteration: int = 30000) -> str:
-        return os.path.join(self.root, "inpaint", "seq", scene_case, mode,
-                            f"ours_{iteration}")
+        return self._inp("seq", scene_case, mode, f"ours_{iteration}")
 
     def sam_mask_dir(self, scene_case: str, ctrl_id: int, mode: str) -> str:
-        return os.path.join(self.root, "inpaint", "sam_mask", scene_case,
-                            f"ctrl_{ctrl_id}", mode)
+        return self._inp("sam_mask", scene_case, f"ctrl_{ctrl_id}", mode)
 
     def inpainted_dir(self, scene_case: str, ctrl_id: int, mode: str) -> str:
-        return os.path.join(self.root, "inpaint", "inpainted", scene_case,
-                            f"ctrl_{ctrl_id}", mode)
+        return self._inp("inpainted", scene_case, f"ctrl_{ctrl_id}", mode)
 
     def depth_dir(self, scene_case: str, mode: str) -> str:
-        return os.path.join(self.root, "inpaint", "depth", scene_case, mode)
+        return self._inp("depth", scene_case, mode)
 
     def ctrl_dir(self, scene_case: str, curated: bool = False) -> str:
-        return os.path.join(self.root, "inpaint",
-                            "ctrl1" if curated else "ctrl", scene_case)
+        return self._inp("ctrl1" if curated else "ctrl", scene_case)
 
 
 class Scene:

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...gs.gaussians import GaussianParams
-from . import binning, composite, geometry
+from . import binning, composite, geometry, pallas_composite
 
 
 @jax.tree_util.register_dataclass
@@ -85,7 +85,8 @@ def _assemble(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile_w: int,
 
 
 @partial(jax.jit, static_argnames=("sh_degree", "tile", "pair_budget",
-                                   "max_per_tile", "chunk"))
+                                   "max_per_tile", "chunk", "backend",
+                                   "interpret"))
 def render(params: GaussianParams, camera: RenderCamera,
            bg_color: jnp.ndarray, sh_degree: int = 0,
            scaling_modifier: float = 1.0,
@@ -93,7 +94,14 @@ def render(params: GaussianParams, camera: RenderCamera,
            tile: tuple[int, int] = (16, 16),
            pair_budget: Optional[int] = None,
            max_per_tile: int = 1024,
-           chunk: int = 128) -> RenderOutput:
+           chunk: int = 128, backend: str = "xla",
+           interpret: bool = False) -> RenderOutput:
+    """Render one view.
+
+    ``backend``: "xla" (differentiable, default) or "pallas" (fused TPU
+    kernel with per-tile early exit — forward-only for now; gradients of
+    the pallas path are not defined).
+    """
     n = params.capacity
     tile_h, tile_w = tile
     tiles_x = -(-camera.width // tile_w)
@@ -112,13 +120,36 @@ def render(params: GaussianParams, camera: RenderCamera,
         jax.lax.stop_gradient(proj.means2d),
         jax.lax.stop_gradient(proj.radius),
         jax.lax.stop_gradient(proj.depth),
-        tiles_x, tiles_y, tile_w, tile_h, pair_budget, max_per_tile)
+        tiles_x, tiles_y, tile_w, tile_h, pair_budget, max_per_tile,
+        gather_ids=(backend == "xla"),
+        aligned_chunk=(pallas_composite.CHUNK if backend == "pallas"
+                       else 0))
 
-    pix = _tile_pixel_coords(tiles_x, tiles_y, tile_w, tile_h)
-    out = composite.composite_tiles(
-        bins.ids, bins.valid, pix, proj.means2d, proj.conic, proj.color,
-        proj.depth, proj.opacity, jnp.asarray(bg_color, jnp.float32),
-        chunk=chunk)
+    if backend == "pallas":
+        if (tile_h, tile_w) != (pallas_composite.TILE_H,
+                                pallas_composite.TILE_W):
+            raise ValueError("pallas backend requires 16x16 tiles")
+        packed = pallas_composite.pack_attrs(
+            proj.means2d, proj.conic, proj.opacity, proj.color, proj.depth)
+        # Sentinel row (id == N) for alignment padding: zero opacity.
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)])
+        gathered = packed[bins.gid_sorted]
+        tiles8 = pallas_composite.composite_pallas(
+            gathered.T, bins.seg_start, bins.counts,
+            jnp.asarray(bg_color, jnp.float32), tiles_x, tiles_y,
+            interpret=interpret)
+        tile_rgb = jnp.swapaxes(tiles8[:, 0:3, :], 1, 2)   # [T, PIX, 3]
+        tile_depth = tiles8[:, 3, :]
+        tile_alpha = 1.0 - tiles8[:, 4, :]
+        out = composite.TileImage(rgb=tile_rgb, depth=tile_depth,
+                                  alpha=tile_alpha)
+    else:
+        pix = _tile_pixel_coords(tiles_x, tiles_y, tile_w, tile_h)
+        out = composite.composite_tiles(
+            bins.ids, bins.valid, pix, proj.means2d, proj.conic,
+            proj.color, proj.depth, proj.opacity,
+            jnp.asarray(bg_color, jnp.float32), chunk=chunk)
 
     rgb = _assemble(out.rgb, tiles_x, tiles_y, tile_w, tile_h,
                     camera.width, camera.height)

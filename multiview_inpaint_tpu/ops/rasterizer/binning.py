@@ -29,14 +29,36 @@ class TileBins(NamedTuple):
     valid: jnp.ndarray      # [T, K] bool
     counts: jnp.ndarray     # [T] int32 (uncapped true per-tile counts)
     total_pairs: jnp.ndarray  # [] int32 (true total; > P means overflow)
+    gid_sorted: jnp.ndarray   # [P] int32 pair-sorted gaussian ids
+    seg_start: jnp.ndarray    # [T] int32 segment starts into gid_sorted
 
 
 def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   depth: jnp.ndarray, tiles_x: int, tiles_y: int,
                   tile_w: int, tile_h: int, pair_budget: int,
-                  max_per_tile: int) -> TileBins:
+                  max_per_tile: int, gather_ids: bool = True,
+                  aligned_chunk: int = 0) -> TileBins:
+    """``aligned_chunk`` > 0 re-scatters the sorted pairs so every tile's
+    segment starts at a chunk-aligned offset (Mosaic-provable DMA slices
+    for the Pallas kernel); ``gid_sorted`` then has length
+    pair_budget + num_tiles*aligned_chunk with sentinel id = N (callers
+    pad the attribute table with one zero row)."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
+
+    # Fast path: pre-sort gaussians by depth once (N elements), so pair
+    # order within a tile == gaussian index order, and the pair sort
+    # collapses to ONE packed int32 key (tile << bits | depth_rank)
+    # instead of a 3-operand lexicographic sort over the much larger P.
+    gid_bits = max(1, (n - 1).bit_length())
+    packed_ok = (num_tiles + 1) < (1 << (31 - gid_bits))
+    if packed_ok:
+        order = jnp.argsort(jnp.where(radius > 0, depth, jnp.inf))
+        means2d = means2d[order]
+        radius = radius[order]
+        depth = depth[order]
+    else:
+        order = None
 
     r = radius.astype(jnp.float32)
     x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile_w), 0, tiles_x)
@@ -67,9 +89,17 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     invalid = slots >= total
     tile = jnp.where(invalid, num_tiles, tile).astype(jnp.int32)
 
-    # Lexicographic (tile, depth) sort; XLA sorts all operands together.
-    sort_depth = jnp.where(invalid, jnp.inf, depth[gid_c])
-    tile_s, gid_s = _lex_sort(tile, sort_depth, gid_c)
+    if packed_ok:
+        key = jnp.where(invalid, jnp.int32(2 ** 31 - 1),
+                        (tile << gid_bits) | gid_c)
+        key_s = jnp.sort(key)
+        tile_s = jnp.where(key_s == 2 ** 31 - 1, num_tiles,
+                           key_s >> gid_bits).astype(jnp.int32)
+        gid_s = order[key_s & ((1 << gid_bits) - 1)].astype(jnp.int32)
+    else:
+        # Lexicographic (tile, depth) sort over all operands.
+        sort_depth = jnp.where(invalid, jnp.inf, depth[gid_c])
+        tile_s, gid_s = _lex_sort(tile, sort_depth, gid_c)
 
     # Per-tile segments.
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -77,12 +107,37 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     seg_end = jnp.searchsorted(tile_s, tile_range, side="right")
     counts = (seg_end - seg_start).astype(jnp.int32)
 
-    k = jnp.arange(max_per_tile, dtype=jnp.int32)
-    idx = jnp.clip(seg_start[:, None] + k[None, :], 0, pair_budget - 1)
-    ids = gid_s[idx]
-    valid = k[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
+    if gather_ids:
+        k = jnp.arange(max_per_tile, dtype=jnp.int32)
+        idx = jnp.clip(seg_start[:, None] + k[None, :], 0, pair_budget - 1)
+        ids = gid_s[idx]
+        valid = k[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
+    else:
+        ids = jnp.zeros((0, 0), jnp.int32)
+        valid = jnp.zeros((0, 0), bool)
+
+    if aligned_chunk:
+        c = aligned_chunk
+        p_aligned = pair_budget + num_tiles * c
+        seg_len_aligned = ((counts + c - 1) // c) * c
+        start_aligned = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(seg_len_aligned)[:-1].astype(jnp.int32)])
+        j = jnp.arange(pair_budget, dtype=jnp.int32)
+        valid_j = tile_s < num_tiles
+        tile_c = jnp.clip(tile_s, 0, num_tiles - 1)
+        dest = start_aligned[tile_c] + (j - seg_start[tile_c].astype(
+            jnp.int32))
+        dest = jnp.where(valid_j, dest, p_aligned)
+        gid_aligned = jnp.full((p_aligned,), n, jnp.int32)
+        gid_aligned = gid_aligned.at[dest].set(gid_s, mode="drop")
+        return TileBins(ids=ids, valid=valid, counts=counts,
+                        total_pairs=total, gid_sorted=gid_aligned,
+                        seg_start=start_aligned)
+
     return TileBins(ids=ids, valid=valid, counts=counts,
-                    total_pairs=total)
+                    total_pairs=total, gid_sorted=gid_s,
+                    seg_start=seg_start.astype(jnp.int32))
 
 
 def _lex_sort(tile, depth, gid):

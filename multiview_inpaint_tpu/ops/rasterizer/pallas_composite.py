@@ -1,0 +1,182 @@
+"""Fused Pallas compositing kernel — the hot path of the rasterizer.
+
+Where the XLA path (``composite.py``) materializes [tiles, pixels, chunk]
+alpha tensors in HBM and pays the full per-tile splat budget everywhere,
+this kernel:
+
+- streams each tile's splats straight from a **pair-sorted attribute
+  array** ``attrs [16, P]`` in HBM (one XLA gather builds it; tiles own
+  contiguous slices, like the CUDA design's sorted key ranges),
+- loops over 128-splat chunks with a ``while_loop`` that **exits early**
+  when the tile's transmittance saturates (max over pixels < 1e-4) or the
+  segment is exhausted — empty tiles do zero compute,
+- keeps every intermediate in VMEM ([256 px, 128 splat] blocks), with the
+  color/depth accumulation hitting the MXU as a [256,128]x[128,4] matmul,
+- double-buffers the chunk DMA so the next chunk loads while the current
+  one composites.
+
+Packed attribute rows (sublane dim): 0 mean_x, 1 mean_y, 2 conic_a,
+3 conic_b, 4 conic_c, 5 opacity, 6 r, 7 g, 8 b, 9 depth, 10-15 pad.
+Output per tile: [8, 256] = rows (r, g, b, depth, final_T, pad...).
+
+Forward-only: gradients route through the XLA path via ``jax.custom_vjp``
+(recompute) — see ``api.render(backend=...)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .composite import ALPHA_MIN, DEPTH_EMPTY, T_STOP
+
+TILE_H = 16
+TILE_W = 16
+PIX = TILE_H * TILE_W  # 256
+CHUNK = 128
+
+
+def _kernel(starts_ref, counts_ref, attrs_ref, bg_ref, out_ref,
+            scratch, sems):
+    t = pl.program_id(0)
+    tiles_x = pl.num_programs(1)
+    tx = pl.program_id(1)
+    # Tile pixel coordinates [PIX, 1].
+    lin = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (tx * TILE_W + jnp.mod(lin, TILE_W)).astype(jnp.float32)
+    py = (t * TILE_H + lin // TILE_W).astype(jnp.float32)
+
+    row = t * tiles_x + tx
+    start = pl.multiple_of(starts_ref[row], CHUNK)
+    count = counts_ref[row]
+    n_chunks = pl.cdiv(count, CHUNK)
+
+    def get_dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(start + chunk_idx * CHUNK, CHUNK)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        i, t_carry, _, _ = state
+        return jnp.logical_and(i < n_chunks, jnp.max(t_carry) >= T_STOP)
+
+    def body(state):
+        i, t_carry, rgb_acc, d_acc = state
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            get_dma((i + 1) % 2, i + 1).start()
+
+        get_dma(i % 2, i).wait()
+        a = scratch[i % 2]  # [16, CHUNK]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        valid = (i * CHUNK + lane) < count  # [1, CHUNK]
+
+        dx = px - a[0:1, :]          # [PIX, CHUNK]
+        dy = py - a[1:2, :]
+        power = (-0.5 * (a[2:3, :] * dx * dx + a[4:5, :] * dy * dy)
+                 - a[3:4, :] * dx * dy)
+        alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
+        alpha = jnp.where((alpha >= ALPHA_MIN) & valid & (power <= 0.0),
+                          alpha, 0.0)
+        logs = jnp.log1p(-alpha)
+        # Inclusive cumsum along lanes as an MXU matmul with an
+        # upper-triangular ones matrix (no cumsum primitive on TPU Pallas).
+        rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+        tri = (rows <= cols).astype(jnp.float32)
+        # HIGHEST precision: the MXU's bf16 default loses ~1e-2 in the
+        # accumulated transmittances.
+        cum = jax.lax.dot_general(
+            logs, tri, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        t_out = t_carry * jnp.exp(cum)
+        t_in = t_carry * jnp.exp(cum - logs)
+        contrib = t_out >= T_STOP
+        w = jnp.where(contrib, alpha * t_in, 0.0)  # [PIX, CHUNK]
+
+        # [PIX, CHUNK] @ [CHUNK, 4] -> MXU
+        cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0).T
+        acc = jax.lax.dot_general(
+            w, cd, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        rgb_acc = rgb_acc + acc[:, :3]
+        d_acc = d_acc + acc[:, 3:4]
+        t_next = t_carry * jnp.exp(
+            jnp.sum(jnp.where(contrib, logs, 0.0), axis=1, keepdims=True))
+        return i + 1, t_next, rgb_acc, d_acc
+
+    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 3), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32))
+    _, t_fin, rgb_acc, d_acc = jax.lax.while_loop(cond, body, init)
+
+    bg = bg_ref[0:3, 0]  # [3]
+    rgb = rgb_acc + t_fin * bg[None, :]
+    dep = d_acc + t_fin * DEPTH_EMPTY
+    out = jnp.concatenate(
+        [rgb, dep, t_fin, jnp.zeros((PIX, 3), jnp.float32)], axis=1)
+    out_ref[0, 0] = out.T  # [8, PIX]
+
+
+@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "interpret"))
+def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
+                     counts: jnp.ndarray, bg_color: jnp.ndarray,
+                     tiles_x: int, tiles_y: int, interpret: bool = False):
+    """attrs_t [16, P] pair-sorted packed attrs; returns [T, 8, PIX]."""
+    num_tiles = tiles_x * tiles_y
+    bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # attrs stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, PIX),
+                               lambda t, tx, *_: (t, tx, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((tiles_y, tiles_x, 8, PIX),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(num_tiles) * PIX * CHUNK * 24,
+            bytes_accessed=int(attrs_t.size) * 4 + num_tiles * PIX * 32,
+            transcendentals=int(num_tiles) * PIX * CHUNK * 2,
+        ),
+    )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), attrs_t, bg)
+    return out.reshape(num_tiles, 8, PIX)
+
+
+def pack_attrs(means2d, conic, opacity, color, depth) -> jnp.ndarray:
+    """Dense per-gaussian attrs -> packed [N, 16] (see row layout above)."""
+    n = means2d.shape[0]
+    return jnp.concatenate([
+        means2d,                       # 0,1
+        conic,                         # 2,3,4
+        opacity[:, None],              # 5
+        color,                         # 6,7,8
+        depth[:, None],                # 9
+        jnp.zeros((n, 6), jnp.float32),
+    ], axis=1)

@@ -76,6 +76,8 @@ def main(argv=None):
     common.add_registry_arg(parser)
     parser.add_argument("--iteration", type=int, default=-1)
     parser.add_argument("--workspace", default=".")
+    parser.add_argument("--inpaint_root", default="inpaint",
+                        help="inpaint hand-off dir (abs or relative to workspace)")
     parser.add_argument("--modes", nargs="+", default=["x1", "x2"])
     parser.add_argument("--frames", type=int, default=14)
     parser.add_argument("--sds", action="store_true",
@@ -85,7 +87,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
     common.apply_registry(args)
 
-    ws = Workspace(args.workspace)
+    ws = Workspace(args.workspace, args.inpaint_root)
     scene = Scene(args.source_path, args.model_path,
                   resolution=args.resolution, max_sh_degree=args.sh_degree,
                   shuffle=False, load_iteration=args.iteration,

@@ -1,0 +1,267 @@
+"""Diffusion stack tests: EDM math goldens, samplers on analytic denoisers,
+tiny-config engine wiring (UNet + ControlNet + VAE + conditioning)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multiview_inpaint_tpu.diffusion import edm, guiders, samplers
+from multiview_inpaint_tpu.diffusion.clip_vit import TINY_VIT
+from multiview_inpaint_tpu.diffusion.engine import (EngineConfig,
+                                                    EngineState, SVDEngine,
+                                                    init_engine)
+from multiview_inpaint_tpu.diffusion.unet import UNetConfig
+from multiview_inpaint_tpu.diffusion.vae import VAEConfig
+
+
+# ---------- EDM math ------------------------------------------------------
+
+def test_edm_sigmas_schedule():
+    s = np.asarray(edm.edm_sigmas(25, 0.002, 700.0, 7.0))
+    assert s[0] == pytest.approx(700.0, rel=1e-5)
+    assert s[-1] == pytest.approx(0.002, rel=1e-5)
+    assert np.all(np.diff(s) < 0)
+    # Karras midpoint formula check
+    mid = (700 ** (1 / 7) + 0.5 * (0.002 ** (1 / 7) - 700 ** (1 / 7))) ** 7
+    assert s[12] == pytest.approx(mid, rel=1e-4)
+
+
+def test_v_scaling():
+    sigma = jnp.asarray([0.5, 2.0])
+    c_skip, c_out, c_in, c_noise = edm.v_scaling_edm_cnoise(sigma)
+    np.testing.assert_allclose(c_skip, 1 / (sigma ** 2 + 1), rtol=1e-6)
+    np.testing.assert_allclose(c_out, -sigma / jnp.sqrt(sigma ** 2 + 1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(c_noise, 0.25 * jnp.log(sigma), rtol=1e-6)
+
+
+def test_denoise_identity_when_net_zero():
+    # net = 0 -> D(x) = x * c_skip
+    x = jnp.ones((2, 4, 4, 3))
+    sigma = jnp.asarray([1.0, 3.0])
+    out = edm.denoise(lambda xs, cn: jnp.zeros_like(xs), x, sigma)
+    expect = x * (1 / (sigma ** 2 + 1))[:, None, None, None]
+    np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+
+def test_edm_weighting():
+    s = jnp.asarray([0.5, 1.0, 2.0])
+    np.testing.assert_allclose(edm.edm_weighting(s, 1.0),
+                               (s ** 2 + 1) / s ** 2, rtol=1e-6)
+
+
+# ---------- guiders -------------------------------------------------------
+
+def test_vanilla_cfg():
+    g = guiders.VanillaCFG(scale=3.0)
+    x = jnp.ones((2, 4))
+    c = {"vector": jnp.ones((2, 8)), "crossattn": jnp.ones((2, 1, 8))}
+    uc = {"vector": jnp.zeros((2, 8)), "crossattn": jnp.zeros((2, 1, 8))}
+    gx, gs, gc = g.prepare(x, jnp.ones(2), c, uc)
+    assert gx.shape == (4, 4) and gc["vector"].shape == (4, 8)
+    out = jnp.concatenate([jnp.zeros((2, 4)), jnp.ones((2, 4))])
+    np.testing.assert_allclose(g.combine(out, None), 3.0)
+
+
+def test_linear_prediction_guider_scales():
+    g = guiders.LinearPredictionGuider(max_scale=2.5, min_scale=1.0,
+                                       num_frames=4)
+    # x_u = 0, x_c = 1 -> per-frame output equals the scale ramp
+    out = jnp.concatenate([jnp.zeros((4, 2)), jnp.ones((4, 2))])
+    got = np.asarray(g.combine(out, None))
+    np.testing.assert_allclose(got[:, 0], np.linspace(1.0, 2.5, 4),
+                               rtol=1e-6)
+
+
+# ---------- samplers on analytic denoisers --------------------------------
+
+def _sigmas(n=15, smax=80.0):
+    return jnp.concatenate([edm.edm_sigmas(n, 0.002, smax),
+                            jnp.zeros((1,))])
+
+
+def test_euler_edm_converges_to_target():
+    """Perfect denoiser D(x)=target => sampler returns ~target."""
+    target = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 3)),
+                         jnp.float32)
+
+    def denoise_fn(x, s, c):
+        return jnp.broadcast_to(target, x.shape)
+
+    x0 = jax.random.normal(jax.random.key(1), target.shape)
+    out = samplers.euler_edm_sample(denoise_fn, x0, {}, None, _sigmas())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target),
+                               atol=0.05)
+
+
+def test_heun_more_accurate_than_euler():
+    """Linear-in-sigma denoiser: D(x) = x/2. ODE solvable; Heun should
+    land closer to the exact solution than Euler with few steps."""
+    x0 = jnp.ones((1, 4, 4, 2))
+
+    def denoise_fn(x, s, c):
+        return x / 2
+
+    sig = _sigmas(6, smax=10.0)
+    e = samplers.euler_edm_sample(denoise_fn, x0, {}, None, sig)
+    h = samplers.heun_edm_sample(denoise_fn, x0, {}, None, sig)
+    # exact: dx/dsigma = (x - x/2)/sigma = x/(2 sigma)
+    # => x(sigma) = x(s0) * sqrt(sigma/s0); at sigma->0: x=0.
+    assert np.abs(np.asarray(h)).mean() < np.abs(np.asarray(e)).mean()
+
+
+def test_blended_sampler_keeps_background():
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), jnp.float32)
+    mask = jnp.zeros((2, 8, 8, 4)).at[:, :4].set(1.0)
+    target = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), jnp.float32)
+
+    def denoise_fn(x, s, c):
+        return jnp.broadcast_to(target, x.shape)
+
+    x0 = jax.random.normal(jax.random.key(2), z.shape)
+    out = samplers.euler_edm_sample_blended(
+        denoise_fn, x0, {}, None, _sigmas(), z, mask)
+    out = np.asarray(out)
+    # masked region converged to target; background stays z
+    # (final step blends noised_z at sigma~0.002 => ~z)
+    np.testing.assert_allclose(out[:, :4], np.asarray(target)[:, :4],
+                               atol=0.05)
+
+
+def test_inversion_sampler_runs():
+    rng = np.random.default_rng(4)
+    z = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.float32)
+    mask = jnp.ones_like(z)
+
+    def denoise_fn(x, s, c):
+        return x * 0.5
+
+    def inv_denoise_fn(x, s, c):
+        return x * 0.1
+
+    x0 = jax.random.normal(jax.random.key(3), z.shape)
+    out = samplers.euler_edm_sample_inversion(
+        denoise_fn, inv_denoise_fn, x0, {}, None, _sigmas(8), z, mask)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dpmpp2m_converges():
+    target = jnp.asarray(np.random.default_rng(5).normal(size=(1, 4, 4, 2)),
+                         jnp.float32)
+
+    def denoise_fn(x, s, c):
+        return jnp.broadcast_to(target, x.shape)
+
+    x0 = jax.random.normal(jax.random.key(4), target.shape)
+    out = samplers.dpmpp2m_sample(denoise_fn, x0, {}, None, _sigmas())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target),
+                               atol=0.05)
+
+
+# ---------- tiny engine wiring --------------------------------------------
+
+TINY = EngineConfig(
+    unet=UNetConfig(in_channels=8, model_channels=32, out_channels=4,
+                    num_res_blocks=1, attention_resolutions=(1,),
+                    channel_mult=(1, 2), num_head_channels=16,
+                    context_dim=16, adm_in_channels=768),
+    vae=VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1, z_channels=4),
+    vit=TINY_VIT._replace(output_dim=16) if hasattr(TINY_VIT, "_replace")
+    else TINY_VIT,
+    num_frames=3, num_steps=4,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    import dataclasses
+    vit = dataclasses.replace(TINY_VIT, output_dim=16)
+    cfg = dataclasses.replace(TINY, vit=vit)
+    eng = SVDEngine(cfg)
+    state = init_engine(cfg, jax.random.key(0), latent_hw=(8, 8))
+    return eng, state, cfg
+
+
+def test_engine_apply_model_shapes(tiny_engine):
+    eng, state, cfg = tiny_engine
+    t = cfg.num_frames
+    x = jnp.zeros((t, 8, 8, 4))
+    cond = {
+        "concat": jnp.zeros((t, 8, 8, 4)),
+        "crossattn": jnp.zeros((t, 1, 16)),
+        "vector": jnp.zeros((t, 768)),
+        "control_hint": jnp.zeros((t, 64, 64, 7)),
+    }
+    out = eng.apply_model(state, x, jnp.zeros((t,)), cond)
+    assert out.shape == (t, 8, 8, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_controlnet_init_from_unet(tiny_engine):
+    eng, state, cfg = tiny_engine
+    # trunk conv weights equal unet weights after init_from_unet
+    u = state.unet["input_blocks_0_0"]["kernel"]
+    c = state.controlnet["trunk"]["input_blocks_0_0"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(c))
+
+
+def test_zero_controlnet_is_identity(tiny_engine):
+    """Fresh zero convs => control residuals are 0 => output equals the
+    plain UNet (the ControlNet starting point)."""
+    eng, state, cfg = tiny_engine
+    t = cfg.num_frames
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(t, 8, 8, 4)), jnp.float32)
+    cond = {
+        "concat": jnp.asarray(rng.normal(size=(t, 8, 8, 4)), jnp.float32),
+        "crossattn": jnp.asarray(rng.normal(size=(t, 1, 16)), jnp.float32),
+        "vector": jnp.asarray(rng.normal(size=(t, 768)), jnp.float32),
+        "control_hint": jnp.asarray(rng.normal(size=(t, 64, 64, 7)),
+                                    jnp.float32),
+    }
+    with_ctrl = eng.apply_model(state, x, jnp.ones((t,)), cond)
+    ind = jnp.zeros((1, t))
+    xc = jnp.concatenate([x, cond["concat"]], axis=-1)
+    plain = eng.unet.apply({"params": state.unet}, xc, jnp.ones((t,)),
+                           cond["crossattn"], cond["vector"],
+                           num_video_frames=t, image_only_indicator=ind)
+    np.testing.assert_allclose(np.asarray(with_ctrl), np.asarray(plain),
+                               atol=1e-6)
+
+
+def test_engine_sample_and_loss(tiny_engine):
+    eng, state, cfg = tiny_engine
+    t = cfg.num_frames
+    # tiny VAE downsamples 2x -> cond frames 16x16 give 8x8 concat
+    # latents; the hint block always downsamples 8x -> hint at 64x64.
+    batch = {
+        "cond_frames_without_noise": jnp.zeros((1, 16, 16, 3)),
+        "cond_frames": jnp.zeros((1, 16, 16, 3)),
+        "fps_id": jnp.asarray([6.0]),
+        "motion_bucket_id": jnp.asarray([127.0]),
+        "cond_aug": jnp.asarray([0.0]),
+        "control_hint": jnp.zeros((t, 64, 64, 7)),
+    }
+    cond = eng.prepare_cond(state, batch, key=jax.random.key(1))
+    uc = eng.prepare_cond(state, batch, unconditional=True)
+    uc["control_hint"] = batch["control_hint"]
+    assert cond["vector"].shape == (t, 768)
+    assert cond["concat"].shape[0] == t
+    out = eng.sample(state, jax.random.key(2), cond, uc,
+                     latent_shape=(t, 8, 8, 4), num_steps=2)
+    assert out.shape == (t, 8, 8, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+    latents = jnp.zeros((t, 8, 8, 4))
+    loss = eng.loss(state, jax.random.key(3), latents, cond)
+    assert np.isfinite(float(loss))
+
+
+def test_vae_roundtrip_shapes(tiny_engine):
+    eng, state, cfg = tiny_engine
+    x = jnp.zeros((2, 32, 32, 3))
+    z = eng.encode_first_stage(state, x)
+    assert z.shape == (2, 16, 16, 4)
+    y = eng.decode_first_stage(state, z, timesteps=2)
+    assert y.shape == (2, 32, 32, 3)

@@ -47,8 +47,7 @@ def main():
     rcam = RenderCamera.from_camera(cam)
     bg = jnp.zeros(3, jnp.float32)
 
-    kwargs = dict(sh_degree=0, max_per_tile=512, pair_budget=16 * n,
-                  chunk=128)
+    kwargs = dict(sh_degree=0, pair_budget=16 * n, backend="pallas")
 
     # Warmup / compile.
     out = render(params, rcam, bg, **kwargs)

@@ -64,7 +64,8 @@ class UNet2D(nn.Module):
     cfg: UNet2DConfig
 
     @nn.compact
-    def __call__(self, x, timesteps, context=None):
+    def __call__(self, x, timesteps, context=None, control=None,
+                 extract_features: bool = False, hint=None):
         cfg = self.cfg
         ch0 = cfg.model_channels
         ted = ch0 * 4
@@ -79,8 +80,12 @@ class UNet2D(nn.Module):
                 name=name)
 
         hs = []
+        feats = []
         h = nn.Conv(ch0, (3, 3), name="input_blocks_0_0")(x)
+        if hint is not None:
+            h = h + hint
         hs.append(h)
+        feats.append(h)
         ds, ch, block_i = 1, ch0, 1
         for level, mult in enumerate(cfg.channel_mult):
             for _ in range(cfg.num_res_blocks):
@@ -89,23 +94,35 @@ class UNet2D(nn.Module):
                 if ds in cfg.attention_resolutions:
                     h = attn(f"input_blocks_{block_i}_1", ch)(h, context)
                 hs.append(h)
+                feats.append(h)
                 block_i += 1
             if level != len(cfg.channel_mult) - 1:
                 h = Downsample(ch, name=f"input_blocks_{block_i}_0")(h)
                 hs.append(h)
+                feats.append(h)
                 ds *= 2
                 block_i += 1
 
         h = ResBlock(ch, name="middle_block_0")(h, emb)
         h = attn("middle_block_1", ch)(h, context)
         h = ResBlock(ch, name="middle_block_2")(h, emb)
+        feats.append(h)
+
+        if extract_features:
+            return feats
+        if control is not None:
+            control = list(control)
+            h = h + control.pop()
 
         block_i = 0
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
                 ch = mult * ch0
+                skip = hs.pop()
+                if control is not None:
+                    skip = skip + control.pop()
                 h = ResBlock(ch, name=f"output_blocks_{block_i}_0")(
-                    jnp.concatenate([h, hs.pop()], axis=-1), emb)
+                    jnp.concatenate([h, skip], axis=-1), emb)
                 if ds in cfg.attention_resolutions:
                     h = attn(f"output_blocks_{block_i}_1", ch)(h, context)
                 if level and i == cfg.num_res_blocks:

@@ -77,9 +77,15 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     starts = ends - count
     total = ends[-1] if n > 0 else jnp.int32(0)
 
-    # Pair slot j belongs to gaussian i = first index with ends[i] > j.
+    # Pair slot j belongs to gaussian i = last index with starts[i] <= j.
+    # searchsorted lowers to a slow gather loop on TPU; a scatter of "+1
+    # at every segment start" followed by an inclusive cumsum gives the
+    # same mapping in two fast vector passes (count-0 gaussians collapse
+    # onto the next start and are skipped by the jump, as required).
     slots = jnp.arange(pair_budget, dtype=jnp.int32)
-    gid = jnp.searchsorted(ends, slots, side="right").astype(jnp.int32)
+    marks = jnp.zeros((pair_budget,), jnp.int32).at[starts].add(
+        1, mode="drop")
+    gid = jnp.cumsum(marks) - 1
     gid_c = jnp.clip(gid, 0, n - 1)
     local = slots - starts[gid_c]
     w = jnp.maximum(rect_w[gid_c], 1)

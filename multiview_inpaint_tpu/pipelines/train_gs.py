@@ -54,6 +54,12 @@ def train(args) -> None:
         state = gs_trainer.init_state(scene.gaussians)
         first_iter = 0
 
+    live = None
+    if args.live_view:
+        from ..utils.live_view import LiveViewServer
+        live = LiveViewServer(args.live_view)
+        logger.echo(f"live view: http://localhost:{live.port}/")
+
     spatial = scene.cameras_extent
     rng = random.Random(0)
     key = jax.random.key(0)
@@ -78,6 +84,33 @@ def train(args) -> None:
                                                iteration)
         state = gs_trainer.grow_if_needed(state, info)
 
+        if live is not None and iteration % args.live_interval == 0:
+            pose = live.requested_pose()
+            view_cam = cam
+            if pose:
+                import math as _m
+
+                from ..gs.cameras import retarget
+                yaw = _m.radians(pose.get("yaw", 0.0))
+                pitch = _m.radians(pose.get("pitch", 0.0))
+                radius = pose.get("radius", 1.0) * spatial
+                c = np.array([radius * _m.cos(pitch) * _m.sin(yaw),
+                              radius * _m.sin(pitch),
+                              -radius * _m.cos(pitch) * _m.cos(yaw)])
+                z = -c / (np.linalg.norm(c) + 1e-9)
+                up = np.array([0.0, 1.0, 0.0])
+                x = np.cross(up, z)
+                x = x / (np.linalg.norm(x) + 1e-9)
+                y = np.cross(z, x)
+                c2w = np.eye(4)
+                c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, c
+                view_cam = retarget(cam, c2w, inpainted=False)
+            out = render(state.params, RenderCamera.from_camera(view_cam),
+                         bg, sh_degree=sh_degree,
+                         max_per_tile=args.max_per_tile,
+                         pair_budget=args.pair_budget_mult
+                         * state.params.capacity)
+            live.publish(np.asarray(out.rgb))
         if iteration % args.log_interval == 0:
             logger.log(iteration, loss=metrics.loss, l1=metrics.l1,
                        points=int(metrics.num_live),
@@ -136,6 +169,9 @@ def main(argv=None):
     parser.add_argument("--max_per_tile", type=int, default=1024)
     parser.add_argument("--pair_budget_mult", type=int, default=8)
     parser.add_argument("--log_interval", type=int, default=100)
+    parser.add_argument("--live_view", type=int, default=0,
+                        help="serve a browser live view on this port")
+    parser.add_argument("--live_interval", type=int, default=50)
     parser.add_argument("--detect_anomaly", action="store_true")
     args = parser.parse_args(argv)
     if args.detect_anomaly:

@@ -43,13 +43,31 @@ def _load(path, size: Tuple[int, int], to_rgb=True, scale=True,
     return img.astype(np.float32)
 
 
+HINT_MODES = {
+    # channel compositions of the reference's dataset family
+    # (my_dataset.py control_hint variants):
+    "full": 7,        # depth(3) | mask(1) | frames*(1-mask)(3)
+    "nodepth": 4,     # mask(1) | frames*(1-mask)(3)
+    "frames_only": 3,  # frames*(1-mask)(3)         ("nomask" ablation)
+    "extended": 8,    # depth(3) | mask(1) | frames*(1-mask)(3) | (1-mask)
+}
+
+
 def _video_batch(frames, controls, masks, cond_frame, fps_id,
-                 motion_bucket_id, cond_aug, rng=None) -> Dict:
+                 motion_bucket_id, cond_aug, rng=None,
+                 hint_mode: str = "full") -> Dict:
     frames = np.stack(frames)         # [T, H, W, 3] in [-1, 1]
     controls = np.stack(controls)     # [T, H, W, 3] in [0, 1]
     masks = np.stack(masks)           # [T, H, W, 1] in [0, 1]
     bg = 1.0 - masks
-    hint = np.concatenate([controls, masks, frames * bg], axis=-1)
+    if hint_mode == "nodepth":
+        hint = np.concatenate([masks, frames * bg], axis=-1)
+    elif hint_mode == "frames_only":
+        hint = frames * bg
+    elif hint_mode == "extended":
+        hint = np.concatenate([controls, masks, frames * bg, bg], axis=-1)
+    else:
+        hint = np.concatenate([controls, masks, frames * bg], axis=-1)
     t = frames.shape[0]
     noise = (rng.standard_normal(cond_frame.shape).astype(np.float32)
              if rng is not None else 0.0)
@@ -72,7 +90,9 @@ class GSVideoForwardDataset:
 
     def __init__(self, data_root: str, size=(512, 384),
                  motion_bucket_id=127, fps_id=6, num_frames=14,
-                 cond_aug=0.0, modes=("x1", "x2"), iteration=30000):
+                 cond_aug=0.0, modes=("x1", "x2"), iteration=30000,
+                 hint_mode: str = "full"):
+        self.hint_mode = hint_mode
         self.root = data_root
         self.size = tuple(size)
         self.motion_bucket_id = motion_bucket_id
@@ -111,7 +131,8 @@ class GSVideoForwardDataset:
             masks.append(_load(f"{seq}/mask/{v}.png", self.size,
                                scale=False, grayscale=True))
         return _video_batch(frames, controls, masks, cond, self.fps_id,
-                            self.motion_bucket_id, self.cond_aug)
+                            self.motion_bucket_id, self.cond_aug,
+                            hint_mode=self.hint_mode)
 
 
 class EstSVDForwardDataset:
@@ -119,7 +140,8 @@ class EstSVDForwardDataset:
 
     def __init__(self, data_root: str, size=(512, 384),
                  motion_bucket_id=127, fps_id=6, num_frames=14,
-                 cond_aug=0.0, seed=0):
+                 cond_aug=0.0, seed=0, hint_mode: str = "full"):
+        self.hint_mode = hint_mode
         self.root = data_root
         self.size = tuple(size)
         self.motion_bucket_id = motion_bucket_id
@@ -150,7 +172,8 @@ class EstSVDForwardDataset:
         cond = frames[0].copy()
         return _video_batch(frames, controls, masks, cond, self.fps_id,
                             self.motion_bucket_id, self.cond_aug,
-                            rng=self.np_rng if self.cond_aug > 0 else None)
+                            rng=self.np_rng if self.cond_aug > 0 else None,
+                            hint_mode=self.hint_mode)
 
 
 def epoch_iterator(dataset, shuffle=True, seed=0):

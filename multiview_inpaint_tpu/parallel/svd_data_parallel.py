@@ -1,0 +1,87 @@
+"""SPMD data-parallel ControlNet training for the SVD inpainter.
+
+The reference trains with PyTorch-Lightning DDP over 4 GPUs (batch 1 per
+device, gradient all-reduce; SURVEY.md §2.6). TPU-native: the *video
+batch* [B, T, ...] is sharded over the ``data`` mesh axis, parameters are
+replicated, and one jitted step vmaps the per-video loss — XLA turns the
+gradient mean into an ICI psum. Optional EMA of the ControlNet params
+(the reference's LitEma) and optax gradient accumulation ride along.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..diffusion.engine import EngineState, SVDEngine
+
+
+def make_dp_train_step(eng: SVDEngine, optimizer,
+                       ema_decay: Optional[float] = None):
+    """Returns step(state, opt_state, ema, key, latents_b, cond_b).
+
+    latents_b [B, T, h, w, 4]; cond_b: dict with leading batch dim B for
+    every leaf ([B, T, ...] for per-frame keys, [B, ...] otherwise
+    already repeated per frame).
+    """
+
+    @jax.jit
+    def step(state: EngineState, opt_state, ema, key, latents_b, cond_b):
+        b = latents_b.shape[0]
+        keys = jax.random.split(key, b)
+
+        def loss_fn(cn_params):
+            def per_video(k, lat, cond):
+                st = dataclasses.replace(state, controlnet=cn_params)
+                return eng.loss(st, k, lat, cond)
+
+            losses = jax.vmap(per_video)(keys, latents_b, cond_b)
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.controlnet)
+        updates, opt_state = optimizer.update(grads, opt_state,
+                                              state.controlnet)
+        new_cn = optax.apply_updates(state.controlnet, updates)
+        new_state = dataclasses.replace(state, controlnet=new_cn)
+        if ema_decay is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                ema, new_cn)
+        return new_state, opt_state, ema, loss
+
+    return step
+
+
+def shard_svd_batch(latents_b, cond_b, mesh: Mesh):
+    def put(a):
+        return jax.device_put(a, NamedSharding(
+            mesh, P("data", *([None] * (a.ndim - 1)))))
+    return put(latents_b), jax.tree_util.tree_map(put, cond_b)
+
+
+def replicate_state(state, mesh: Mesh):
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), state)
+
+
+def build_optimizer(lr: float = 1e-4, schedule: str = "constant",
+                    warmup_steps: int = 0, total_steps: int = 100_000,
+                    accumulate: int = 1):
+    """Reference knobs: base lr 1e-4, LambdaLinear/WarmUpCosine schedules
+    (sgm/lr_scheduler.py), accumulate_grad_batches."""
+    if schedule == "warmup_cosine":
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup_steps, total_steps)
+    elif schedule == "linear":
+        sched = optax.linear_schedule(lr, 0.0, total_steps, warmup_steps)
+    else:
+        sched = lr
+    opt = optax.adam(sched)
+    if accumulate > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulate)
+    return opt

@@ -46,9 +46,27 @@ def to_grid(frames: np.ndarray, ncol: int = 4, pad: int = 2) -> np.ndarray:
     return np.clip(grid, 0, 1)
 
 
+def _engine_config(args) -> EngineConfig:
+    if args.tiny_model:
+        import dataclasses as _dc
+
+        from ..diffusion.clip_vit import TINY_VIT
+        from ..diffusion.unet import UNetConfig
+        from ..diffusion.vae import VAEConfig
+        return EngineConfig(
+            unet=UNetConfig(model_channels=32, num_res_blocks=1,
+                            attention_resolutions=(1,),
+                            channel_mult=(1, 2), num_head_channels=16,
+                            context_dim=16),
+            vae=VAEConfig(ch=16, ch_mult=(1, 2, 4, 4), num_res_blocks=1),
+            vit=_dc.replace(TINY_VIT, output_dim=16),
+            num_frames=args.num_frames, num_steps=args.num_steps)
+    return EngineConfig(num_frames=args.num_frames,
+                        num_steps=args.num_steps)
+
+
 def run(args):
-    cfg = EngineConfig(num_frames=args.num_frames,
-                       num_steps=args.num_steps)
+    cfg = _engine_config(args)
     eng = SVDEngine(cfg)
     state = init_engine(cfg, jax.random.key(args.seed),
                         latent_hw=(args.size[0] // 8, args.size[1] // 8))
@@ -115,6 +133,8 @@ def main(argv=None):
     p.add_argument("--modes", nargs="+", default=["x1", "x2"])
     p.add_argument("--iteration", type=int, default=30000)
     p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--tiny_model", action="store_true",
+                   help="debug-size model for smoke tests")
     run(p.parse_args(argv))
 
 

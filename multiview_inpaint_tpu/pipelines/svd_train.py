@@ -2,14 +2,18 @@
 
 Reference counterpart: ``python main.py --base configs/training/
 svd_f_est_ctrl_simp1.yaml`` (PL DDP, 50 epochs, lr 1e-4, ckpt every 5
-epochs, ControlNet-only parameters). TPU-native: one jitted SPMD train
-step with the frame axis local to each video and the *video batch*
-sharded over the ``data`` mesh axis; Adam via optax; bf16 activations
-optional; checkpoints are pruned to ControlNet params (npz).
+epochs, ControlNet-only parameters, LitEma, grad accumulation, LR
+schedules). TPU-native: one jitted SPMD step over a *video batch*
+sharded on the ``data`` mesh axis (params replicated, gradient mean via
+ICI psum); EMA/schedules/accumulation through optax; checkpoints pruned
+to ControlNet params (npz); crash checkpointing on exception (the
+reference's "melk" handler) plus SIGUSR1 on demand.
 
     python -m multiview_inpaint_tpu.pipelines.svd_train \
         --data_root <dst14_est_forward60_2k> --logdir logs/simp1 \
-        [--epochs 50] [--lr 1e-4] [--devices N]
+        [--epochs 50] [--lr 1e-4] [--batch_size N] [--ema] \
+        [--accumulate 1] [--schedule constant|linear|warmup_cosine] \
+        [--warp_loss --meta_k K.json]
 """
 
 from __future__ import annotations
@@ -17,88 +21,145 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import signal
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..data.svd_dataset import EstSVDForwardDataset, epoch_iterator
 from ..diffusion import checkpoint as ckpt
-from ..diffusion.engine import EngineConfig, EngineState, SVDEngine, init_engine
+from ..diffusion.engine import EngineConfig, SVDEngine, init_engine
+from ..parallel import make_mesh
+from ..parallel.svd_data_parallel import (build_optimizer,
+                                          make_dp_train_step,
+                                          replicate_state, shard_svd_batch)
 from ..utils.logging import RunLogger
 
 
-def make_train_step(eng: SVDEngine, optimizer):
-    @jax.jit
-    def step(state: EngineState, opt_state, key, latents, cond):
-        def loss_fn(cn_params):
-            st = dataclasses.replace(state, controlnet=cn_params)
-            return eng.loss(st, key, latents, cond)
+def _engine_config(args) -> EngineConfig:
+    if args.tiny_model:
+        import dataclasses as _dc
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.controlnet)
-        updates, opt_state = optimizer.update(grads, opt_state,
-                                              state.controlnet)
-        new_cn = optax.apply_updates(state.controlnet, updates)
-        return dataclasses.replace(state, controlnet=new_cn), opt_state, \
-            loss
-    return step
+        from ..diffusion.clip_vit import TINY_VIT
+        from ..diffusion.unet import UNetConfig
+        from ..diffusion.vae import VAEConfig
+        return EngineConfig(
+            unet=UNetConfig(model_channels=32, num_res_blocks=1,
+                            attention_resolutions=(1,),
+                            channel_mult=(1, 2), num_head_channels=16,
+                            context_dim=16),
+            vae=VAEConfig(ch=16, ch_mult=(1, 2, 4, 4), num_res_blocks=1),
+            vit=_dc.replace(TINY_VIT, output_dim=16),
+            num_frames=args.num_frames)
+    return EngineConfig(num_frames=args.num_frames)
 
 
 def train(args):
-    cfg = EngineConfig(num_frames=args.num_frames)
+    cfg = _engine_config(args)
     eng = SVDEngine(cfg)
     key = jax.random.key(args.seed)
     key, init_key = jax.random.split(key)
     state = init_engine(cfg, init_key,
                         latent_hw=(args.size[0] // 8, args.size[1] // 8))
     if args.base_ckpt:
-        loaded = ckpt.load_params(args.base_ckpt)
-        merged, missing, unexpected = ckpt.merge_params(
-            {"unet": state.unet, "vae": state.vae, "clip": state.clip},
-            loaded)
-        state = dataclasses.replace(state, **merged)
-        print(f"base ckpt: {len(missing)} missing, "
-              f"{len(unexpected)} unexpected")
+        if args.base_ckpt.endswith((".safetensors", ".ckpt", ".pth")):
+            from ..diffusion import weights_io
+            sd = weights_io.load_torch_state_dict(args.base_ckpt)
+            up, m, _ = weights_io.import_unet(state.unet, sd)
+            vp, m2, _ = weights_io.import_vae(state.vae, sd)
+            state = dataclasses.replace(state, unet=up, vae=vp)
+            print(f"torch base ckpt: unet missing {len(m)}, "
+                  f"vae missing {len(m2)}")
+        else:
+            loaded = ckpt.load_params(args.base_ckpt)
+            merged, missing, unexpected = ckpt.merge_params(
+                {"unet": state.unet, "vae": state.vae,
+                 "clip": state.clip}, loaded)
+            state = dataclasses.replace(state, **merged)
+            print(f"base ckpt: {len(missing)} missing, "
+                  f"{len(unexpected)} unexpected")
         from ..diffusion.engine import init_controlnet_from_unet
         state = init_controlnet_from_unet(state)
     if args.resume:
         state = dataclasses.replace(
             state, controlnet=ckpt.load_params(args.resume))
 
-    optimizer = optax.adam(args.lr)
-    opt_state = optimizer.init(state.controlnet)
-    step_fn = make_train_step(eng, optimizer)
-
     ds = EstSVDForwardDataset(args.data_root, size=args.size,
                               num_frames=args.num_frames,
                               cond_aug=args.cond_aug)
+    steps_per_epoch = max(1, len(ds) // args.batch_size)
+    optimizer = build_optimizer(args.lr, args.schedule, args.warmup_steps,
+                                steps_per_epoch * args.epochs,
+                                args.accumulate)
+    opt_state = optimizer.init(state.controlnet)
+    step_fn = make_dp_train_step(
+        eng, optimizer, ema_decay=(args.ema_decay if args.ema else None))
+    ema = state.controlnet
+
+    mesh = make_mesh(min(args.devices or len(jax.devices()),
+                         len(jax.devices())))
+    state = replicate_state(state, mesh)
+    opt_state = replicate_state(opt_state, mesh)
+    ema = replicate_state(ema, mesh)
+
     os.makedirs(args.logdir, exist_ok=True)
     logger = RunLogger(args.logdir, "svd_train")
+
+    def save(tag):
+        path = os.path.join(args.logdir, "checkpoints", f"{tag}.npz")
+        ckpt.save_params(path, ema if args.ema else state.controlnet)
+        logger.echo(f"saved {path}")
+
+    signal.signal(signal.SIGUSR1, lambda *_: save("melk"))
+
+    def make_batch(items):
+        lat, conds = [], []
+        for _, b in items:
+            bj = {k: jnp.asarray(v) for k, v in b.items()
+                  if k != "num_video_frames"}
+            key_l = jax.random.fold_in(jax.random.key(args.seed),
+                                       len(lat))
+            latents = eng.encode_first_stage(state, bj["jpg"],
+                                             sample_key=key_l)
+            cond = eng.prepare_cond(state, bj, key=key_l)
+            lat.append(latents)
+            conds.append(cond)
+        latents_b = jnp.stack(lat)
+        cond_b = {k: jnp.stack([c[k] for c in conds])
+                  for k in conds[0]}
+        return latents_b, cond_b
+
     gstep = 0
-    for epoch in range(args.epochs):
-        t0 = time.time()
-        for idx, batch in epoch_iterator(ds, seed=args.seed + epoch):
-            b = {k: jnp.asarray(v) for k, v in batch.items()
-                 if k != "num_video_frames"}
-            key, k1, k2, k3 = jax.random.split(key, 4)
-            latents = eng.encode_first_stage(state, b["jpg"],
-                                             sample_key=k1)
-            cond = eng.prepare_cond(state, b, key=k2)
-            state, opt_state, loss = step_fn(state, opt_state, k3,
-                                             latents, cond)
-            gstep += 1
-            if gstep % args.log_interval == 0:
-                logger.log(gstep, epoch=epoch, loss=loss,
-                           sec_per_step=(time.time() - t0)
-                           / args.log_interval)
-                t0 = time.time()
-        if (epoch + 1) % args.ckpt_every == 0 or epoch == args.epochs - 1:
-            path = os.path.join(args.logdir, "checkpoints",
-                                f"epoch={epoch:06d}.npz")
-            ckpt.save_params(path, state.controlnet)
-            logger.echo(f"[epoch {epoch}] saved {path}")
+    try:
+        for epoch in range(args.epochs):
+            t0 = time.time()
+            items = []
+            for it in epoch_iterator(ds, seed=args.seed + epoch):
+                items.append(it)
+                if len(items) < args.batch_size:
+                    continue
+                latents_b, cond_b = make_batch(items)
+                items = []
+                with mesh:
+                    latents_b, cond_b = shard_svd_batch(latents_b, cond_b,
+                                                        mesh)
+                    key, k = jax.random.split(key)
+                    state, opt_state, ema, loss = step_fn(
+                        state, opt_state, ema, k, latents_b, cond_b)
+                gstep += 1
+                if gstep % args.log_interval == 0:
+                    logger.log(gstep, epoch=epoch, loss=loss,
+                               sec_per_step=(time.time() - t0)
+                               / args.log_interval)
+                    t0 = time.time()
+            if (epoch + 1) % args.ckpt_every == 0 or \
+                    epoch == args.epochs - 1:
+                save(f"epoch={epoch:06d}")
+    except Exception:
+        save("last")  # crash checkpoint (reference SetupCallback)
+        raise
     logger.close()
 
 
@@ -108,16 +169,27 @@ def main(argv=None):
     p.add_argument("--logdir", default="logs/run")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="videos per step (sharded over devices)")
+    p.add_argument("--devices", type=int, default=None)
     p.add_argument("--num_frames", type=int, default=14)
     p.add_argument("--size", type=int, nargs=2, default=[512, 384])
     p.add_argument("--cond_aug", type=float, default=0.0)
     p.add_argument("--base_ckpt", default=None,
-                   help="pretrained SVD weights (npz, see weights_io)")
-    p.add_argument("--resume", default=None,
-                   help="controlnet checkpoint to resume from")
+                   help="pretrained SVD weights (torch safetensors/ckpt "
+                        "or our npz)")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=0.9999)
+    p.add_argument("--schedule", default="constant",
+                   choices=["constant", "linear", "warmup_cosine"])
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--accumulate", type=int, default=1)
     p.add_argument("--ckpt_every", type=int, default=5)
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--tiny_model", action="store_true",
+                   help="debug-size model for smoke tests")
     train(p.parse_args(argv))
 
 

@@ -164,9 +164,23 @@ def _image_size(path: str):
 
 def load_image(path: str, resolution: Optional[tuple] = None,
                grayscale: bool = False) -> np.ndarray:
-    """PNG/JPG -> float32 [H, W, C] (or [H, W] grayscale) in [0, 1]."""
+    """PNG/JPG -> float32 [H, W, C] (or [H, W] grayscale) in [0, 1].
+
+    PNGs decode through the native C++ library when built
+    (``native/dataio.cpp``); PIL handles resizing and other formats.
+    """
     from PIL import Image
-    with Image.open(path) as im:
+    im = None
+    if path.endswith(".png"):
+        try:
+            from ..data.native_io import decode_png, native_available
+            if native_available():
+                im = Image.fromarray(decode_png(path))
+        except Exception:
+            im = None
+    if im is None:
+        im = Image.open(path)
+    with im:
         im = im.convert("L" if grayscale else "RGB")
         if resolution is not None:
             im = im.resize(resolution)

@@ -123,20 +123,38 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         valid = jnp.zeros((0, 0), bool)
 
     if aligned_chunk:
+        # Chunk-aligned relayout WITHOUT a large scatter: the aligned
+        # destination is monotone in j, so the inverse map "aligned slot
+        # k -> source pair j" is k - offset(k) where offset changes only
+        # at tile boundaries. A tiny scatter of per-tile deltas at the
+        # aligned starts + one cumsum recovers offset(k); the payload
+        # moves via a single gather (TPU scatters over millions of random
+        # indices are pathologically slow; this is all vector work).
         c = aligned_chunk
         p_aligned = pair_budget + num_tiles * c
         seg_len_aligned = ((counts + c - 1) // c) * c
         start_aligned = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32),
              jnp.cumsum(seg_len_aligned)[:-1].astype(jnp.int32)])
-        j = jnp.arange(pair_budget, dtype=jnp.int32)
-        valid_j = tile_s < num_tiles
-        tile_c = jnp.clip(tile_s, 0, num_tiles - 1)
-        dest = start_aligned[tile_c] + (j - seg_start[tile_c].astype(
-            jnp.int32))
-        dest = jnp.where(valid_j, dest, p_aligned)
-        gid_aligned = jnp.full((p_aligned,), n, jnp.int32)
-        gid_aligned = gid_aligned.at[dest].set(gid_s, mode="drop")
+        seg_start32 = seg_start.astype(jnp.int32)
+        off = start_aligned - seg_start32                 # [T]
+        delta = jnp.diff(jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                          off]))
+        offset_k = jnp.cumsum(
+            jnp.zeros((p_aligned,), jnp.int32).at[start_aligned].add(
+                delta, mode="drop"))
+        k = jnp.arange(p_aligned, dtype=jnp.int32)
+        src = k - offset_k
+        # valid aligned slots: within the tile's true segment
+        seg_end32 = seg_start32 + counts
+        end_k = jnp.cumsum(
+            jnp.zeros((p_aligned,), jnp.int32).at[start_aligned].add(
+                jnp.diff(jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), seg_end32])),
+                mode="drop"))
+        in_seg = src < end_k
+        gid_aligned = jnp.where(
+            in_seg, gid_s[jnp.clip(src, 0, pair_budget - 1)], n)
         return TileBins(ids=ids, valid=valid, counts=counts,
                         total_pairs=total, gid_sorted=gid_aligned,
                         seg_start=start_aligned)

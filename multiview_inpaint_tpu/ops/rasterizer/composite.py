@@ -80,9 +80,8 @@ def composite_tiles(ids: jnp.ndarray, valid: jnp.ndarray,
             alpha = jnp.minimum(0.99, op[None, :] * jnp.exp(power))
             alpha = jnp.where((alpha >= ALPHA_MIN) & ok[None, :] & (power <= 0),
                               alpha, 0.0)
-            one_m = 1.0 - alpha
             # exclusive cumprod along C via cumsum in log space
-            logs = jnp.log(one_m)           # alpha <= 0.99 -> finite
+            logs = jnp.log1p(-alpha)        # alpha <= 0.99 -> finite
             cum = jnp.cumsum(logs, axis=-1)
             t_out = t_carry[:, None] * jnp.exp(cum)      # after each splat
             t_in = t_carry[:, None] * jnp.exp(cum - logs)  # before each
@@ -141,6 +140,7 @@ def composite_dense(means2d, conic, color, depth, opacity, order,
              - co[None, :, 1] * dx * dy)
     alpha = jnp.minimum(0.99, op[None, :] * jnp.exp(power))
     alpha = jnp.where((alpha >= ALPHA_MIN) & (power <= 0), alpha, 0.0)
+    del d
     if radius is not None and tile is not None:
         th, tw = tile
         r = radius[order].astype(jnp.float32)
@@ -155,7 +155,7 @@ def composite_dense(means2d, conic, color, depth, opacity, order,
                    (py_tile[:, None] >= y0[None]) &
                    (py_tile[:, None] < y1[None]))
         alpha = jnp.where(in_rect, alpha, 0.0)
-    logs = jnp.log(1.0 - alpha)
+    logs = jnp.log1p(-alpha)
     cum = jnp.cumsum(logs, axis=-1)
     t_out = jnp.exp(cum)
     t_in = jnp.exp(cum - logs)

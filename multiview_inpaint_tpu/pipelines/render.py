@@ -38,6 +38,7 @@ def render_set(model_path, name, iteration, views, params, bg,
         if save_depth:
             depth_dir = os.path.join(model_path, name, f"ours_{iteration}",
                                      "depth")
+            os.makedirs(depth_dir, exist_ok=True)
             disp = 1.0 / jnp.clip(out.depth, 0.1)
             scene_io.save_image(os.path.join(depth_dir, f"{idx:05d}.png"),
                                 np.asarray(disp / disp.max()))

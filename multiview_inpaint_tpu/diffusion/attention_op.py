@@ -23,8 +23,9 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     b, tq, hd = q.shape
     d = hd // heads
-    qh = q.reshape(b, tq, heads, d)
-    kh = k.reshape(b, k.shape[1], heads, d)
-    vh = v.reshape(b, v.shape[1], heads, d)
+    dt = jnp.promote_types(q.dtype, k.dtype)
+    qh = q.astype(dt).reshape(b, tq, heads, d)
+    kh = k.astype(dt).reshape(b, k.shape[1], heads, d)
+    vh = v.astype(dt).reshape(b, v.shape[1], heads, d)
     out = jax.nn.dot_product_attention(qh, kh, vh, scale=scale)
     return out.reshape(b, tq, hd)

@@ -54,6 +54,9 @@ class EngineConfig:
     cfg_max: float = 2.5
     control_scales: float = 1.0
     scaling: str = "v_edm_cnoise"
+    compute_dtype: str = "float32"  # "bfloat16" for mixed precision
+    remat: bool = False             # use_checkpoint parity (rematerialize
+                                    # UNet/ControlNet activations)
 
 
 @jax.tree_util.register_dataclass
@@ -147,21 +150,42 @@ class SVDEngine:
     def apply_model(self, state: EngineState, x: jnp.ndarray,
                     t_noise: jnp.ndarray, cond: Dict) -> jnp.ndarray:
         """x [(b t), h, w, 4] scaled latents; cond holds per-frame
-        crossattn/vector/concat + control_hint (image resolution)."""
+        crossattn/vector/concat + control_hint (image resolution).
+
+        ``compute_dtype="bfloat16"`` runs both networks in bf16 (norms
+        stay f32 inside GroupNorm32) with an f32 output, the reference's
+        16-mixed policy; ``remat=True`` rematerializes activations in the
+        backward pass (use_checkpoint parity).
+        """
         cfg = self.cfg
         t = cfg.num_frames
         bt = x.shape[0]
         ind = jnp.zeros((bt // t, t))
-        xc = jnp.concatenate([x, cond["concat"]], axis=-1)
-        control = self.controlnet.apply(
-            {"params": state.controlnet}, xc, cond["control_hint"],
-            t_noise, cond.get("crossattn"), cond.get("vector"),
-            num_video_frames=t, image_only_indicator=ind)
-        control = [c * cfg.control_scales for c in control]
-        return self.unet.apply(
-            {"params": state.unet}, xc, t_noise, cond.get("crossattn"),
-            cond.get("vector"), num_video_frames=t,
-            image_only_indicator=ind, control=control)
+        dt = jnp.dtype(cfg.compute_dtype)
+
+        def run(cn_params, unet_params, xc, hint, crossattn, vector):
+            control = self.controlnet.apply(
+                {"params": cn_params}, xc, hint, t_noise, crossattn,
+                vector, num_video_frames=t, image_only_indicator=ind)
+            control = [c * cfg.control_scales for c in control]
+            return self.unet.apply(
+                {"params": unet_params}, xc, t_noise, crossattn, vector,
+                num_video_frames=t, image_only_indicator=ind,
+                control=control)
+
+        if cfg.remat:
+            run = jax.checkpoint(run)
+        cast = (lambda p: jax.tree_util.tree_map(
+            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, p)) \
+            if dt != jnp.float32 else (lambda p: p)
+        xc = jnp.concatenate([x, cond["concat"]], axis=-1).astype(dt)
+        out = run(cast(state.controlnet), cast(state.unet), xc,
+                  cond["control_hint"].astype(dt),
+                  cond.get("crossattn").astype(dt)
+                  if cond.get("crossattn") is not None else None,
+                  cond.get("vector").astype(dt)
+                  if cond.get("vector") is not None else None)
+        return out.astype(jnp.float32)
 
     def denoise_fn(self, state: EngineState):
         def net_apply_factory(cond):
@@ -212,6 +236,28 @@ class SVDEngine:
         return samplers.euler_edm_sample_blended(
             self.denoise_fn(state), x, cond, uc, sigmas, z, mask,
             guider=self.guider, key=k2)
+
+    def sample_inversion(self, state: EngineState, key: jax.Array,
+                         cond: Dict, uc: Dict, z: jnp.ndarray,
+                         mask: jnp.ndarray,
+                         num_steps: Optional[int] = None) -> jnp.ndarray:
+        """VideoDiffusionEngine2's DDIM-inversion resampling path
+        (EulerEDMSampler3 + LinearPredictionGuider2 no-op guiding)."""
+        from .guiders import LinearPredictionGuider2
+        cfg = self.cfg
+        sigmas = edm.edm_sigmas(num_steps or cfg.num_steps,
+                                cfg.sigma_min, cfg.sigma_max)
+        sigmas = jnp.concatenate([sigmas, jnp.zeros((1,))])
+        k1, k2 = jax.random.split(key)
+        x = jax.random.normal(k1, z.shape)
+        guider2 = LinearPredictionGuider2(
+            max_scale=cfg.cfg_max, min_scale=cfg.cfg_min,
+            num_frames=cfg.num_frames,
+            additional_cond_keys=("control_hint",))
+        return samplers.euler_edm_sample_inversion(
+            self.denoise_fn(state), self.inv_denoise_fn(state), x, cond,
+            uc, sigmas, z, mask, guider=guider2, inv_guider=guider2,
+            key=k2)
 
     # --- training --------------------------------------------------------
     def loss(self, state: EngineState, key: jax.Array,

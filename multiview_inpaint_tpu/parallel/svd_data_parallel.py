@@ -21,13 +21,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..diffusion.engine import EngineState, SVDEngine
 
 
+_LABEL_EMB_KEYS = ("label_emb_0_0", "label_emb_0_2")
+
+
+def trainable_params(state: EngineState,
+                     train_label_emb: bool = False) -> Dict:
+    """The reference's two trainable sets: ControlNet only (SVDEngine,
+    sd_locked) or ControlNet + the UNet's label_emb
+    (VideoDiffusionEngine variant, csvd.py:604-605)."""
+    t = {"controlnet": state.controlnet}
+    if train_label_emb:
+        t["label_emb"] = {k: state.unet[k] for k in _LABEL_EMB_KEYS
+                          if k in state.unet}
+    return t
+
+
+def apply_trainable(state: EngineState, trainable: Dict) -> EngineState:
+    new = dataclasses.replace(state, controlnet=trainable["controlnet"])
+    if "label_emb" in trainable:
+        unet = dict(new.unet)
+        unet.update(trainable["label_emb"])
+        new = dataclasses.replace(new, unet=unet)
+    return new
+
+
 def make_dp_train_step(eng: SVDEngine, optimizer,
-                       ema_decay: Optional[float] = None):
+                       ema_decay: Optional[float] = None,
+                       train_label_emb: bool = False):
     """Returns step(state, opt_state, ema, key, latents_b, cond_b).
 
     latents_b [B, T, h, w, 4]; cond_b: dict with leading batch dim B for
     every leaf ([B, T, ...] for per-frame keys, [B, ...] otherwise
-    already repeated per frame).
+    already repeated per frame). ``opt_state``/``ema`` are over the
+    trainable_params() tree.
     """
 
     @jax.jit
@@ -35,23 +61,23 @@ def make_dp_train_step(eng: SVDEngine, optimizer,
         b = latents_b.shape[0]
         keys = jax.random.split(key, b)
 
-        def loss_fn(cn_params):
+        def loss_fn(trainable):
             def per_video(k, lat, cond):
-                st = dataclasses.replace(state, controlnet=cn_params)
+                st = apply_trainable(state, trainable)
                 return eng.loss(st, k, lat, cond)
 
             losses = jax.vmap(per_video)(keys, latents_b, cond_b)
             return jnp.mean(losses)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.controlnet)
-        updates, opt_state = optimizer.update(grads, opt_state,
-                                              state.controlnet)
-        new_cn = optax.apply_updates(state.controlnet, updates)
-        new_state = dataclasses.replace(state, controlnet=new_cn)
+        params = trainable_params(state, train_label_emb)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_state = apply_trainable(state, new_params)
         if ema_decay is not None:
             ema = jax.tree_util.tree_map(
                 lambda e, p: ema_decay * e + (1 - ema_decay) * p,
-                ema, new_cn)
+                ema, new_params)
         return new_state, opt_state, ema, loss
 
     return step

@@ -102,7 +102,18 @@ def run(args):
         uc["control_hint"] = cond["control_hint"]
         t = args.num_frames
         h8, w8 = args.size[0] // 8, args.size[1] // 8
-        z = eng.sample(state, k2, cond, uc, latent_shape=(t, h8, w8, 4))
+        if args.sampling in ("blended", "inversion"):
+            # background latents + latent-space mask (1 = resample)
+            bg_z = eng.encode_first_stage(state, batch["jpg"])
+            m = jax.image.resize(batch["masks"], (t, h8, w8, 1),
+                                 "nearest")
+            m = jnp.broadcast_to(m, bg_z.shape)
+            fn = (eng.sample_blended if args.sampling == "blended"
+                  else eng.sample_inversion)
+            z = fn(state, k2, cond, uc, bg_z, m)
+        else:
+            z = eng.sample(state, k2, cond, uc,
+                           latent_shape=(t, h8, w8, 4))
         frames = eng.decode_first_stage(state, z, timesteps=t)
         frames = np.asarray(frames)
         # reference-compatible grid
@@ -132,6 +143,11 @@ def main(argv=None):
     p.add_argument("--size", type=int, nargs=2, default=[512, 384])
     p.add_argument("--modes", nargs="+", default=["x1", "x2"])
     p.add_argument("--iteration", type=int, default=30000)
+    p.add_argument("--sampling", default="plain",
+                   choices=["plain", "blended", "inversion"],
+                   help="plain=SVDEngine, blended=VideoDiffusionEngine2 "
+                        "per-step latent blending, inversion="
+                        "EulerEDMSampler3 DDIM-inversion resampling")
     p.add_argument("--seed", type=int, default=23)
     p.add_argument("--tiny_model", action="store_true",
                    help="debug-size model for smoke tests")

@@ -34,7 +34,8 @@ from ..diffusion.engine import EngineConfig, SVDEngine, init_engine
 from ..parallel import make_mesh
 from ..parallel.svd_data_parallel import (build_optimizer,
                                           make_dp_train_step,
-                                          replicate_state, shard_svd_batch)
+                                          replicate_state, shard_svd_batch,
+                                          trainable_params)
 from ..utils.logging import RunLogger
 
 
@@ -93,10 +94,12 @@ def train(args):
     optimizer = build_optimizer(args.lr, args.schedule, args.warmup_steps,
                                 steps_per_epoch * args.epochs,
                                 args.accumulate)
-    opt_state = optimizer.init(state.controlnet)
+    trainable = trainable_params(state, args.train_label_emb)
+    opt_state = optimizer.init(trainable)
     step_fn = make_dp_train_step(
-        eng, optimizer, ema_decay=(args.ema_decay if args.ema else None))
-    ema = state.controlnet
+        eng, optimizer, ema_decay=(args.ema_decay if args.ema else None),
+        train_label_emb=args.train_label_emb)
+    ema = trainable
 
     mesh = make_mesh(min(args.devices or len(jax.devices()),
                          len(jax.devices())))
@@ -109,7 +112,12 @@ def train(args):
 
     def save(tag):
         path = os.path.join(args.logdir, "checkpoints", f"{tag}.npz")
-        ckpt.save_params(path, ema if args.ema else state.controlnet)
+        # pruned checkpoint: controlnet (+label_emb when trained), like
+        # the reference's on_save_checkpoint
+        tree = ema if args.ema else trainable_params(
+            state, args.train_label_emb)
+        ckpt.save_params(path, tree["controlnet"] if list(tree) == [
+            "controlnet"] else tree)
         logger.echo(f"saved {path}")
 
     signal.signal(signal.SIGUSR1, lambda *_: save("melk"))
@@ -180,6 +188,9 @@ def main(argv=None):
                         "or our npz)")
     p.add_argument("--resume", default=None)
     p.add_argument("--ema", action="store_true")
+    p.add_argument("--train_label_emb", action="store_true",
+                   help="also train the UNet label embedding "
+                        "(VideoDiffusionEngine variant)")
     p.add_argument("--ema_decay", type=float, default=0.9999)
     p.add_argument("--schedule", default="constant",
                    choices=["constant", "linear", "warmup_cosine"])

@@ -71,6 +71,11 @@ def train(args) -> None:
             stack = list(scene.train_cameras())
             rng.shuffle(stack)
         cam = stack.pop()
+        if args.profile_dir and iteration == 100:
+            jax.profiler.start_trace(args.profile_dir)
+        if args.profile_dir and iteration == 110:
+            jax.profiler.stop_trace()
+            logger.echo(f"profiler trace -> {args.profile_dir}")
         if iteration % 1000 == 0:
             sh_degree = min(sh_degree + 1, args.sh_degree)
         rcam = RenderCamera.from_camera(cam)
@@ -173,6 +178,9 @@ def main(argv=None):
                         help="serve a browser live view on this port")
     parser.add_argument("--live_interval", type=int, default=50)
     parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of iterations "
+                             "100-110 to this directory")
     args = parser.parse_args(argv)
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)

@@ -111,13 +111,14 @@ class StepMetrics(NamedTuple):
 
 @partial(jax.jit, static_argnames=("cfg", "spatial_lr_scale", "sh_degree",
                                    "max_per_tile", "pair_budget_mult",
-                                   "loss_mode"))
+                                   "loss_mode", "backend"))
 def train_step(state: TrainState, camera: RenderCamera,
                gt_image: jnp.ndarray, bg_color: jnp.ndarray,
                cfg: OptimizationConfig, spatial_lr_scale: float,
                sh_degree: int = 0, mask: Optional[jnp.ndarray] = None,
                loss_mode: str = "full", max_per_tile: int = 1024,
-               pair_budget_mult: int = 8) -> tuple[TrainState, StepMetrics]:
+               pair_budget_mult: int = 8,
+               backend: str = "xla") -> tuple[TrainState, StepMetrics]:
     """One optimization iteration.
 
     ``gt_image`` [H, W, 3]; ``mask`` [H, W] optional. ``loss_mode``:
@@ -134,7 +135,7 @@ def train_step(state: TrainState, camera: RenderCamera,
         params = GaussianParams(live=p.live, **fields)
         out = render(params, camera, bg_color, sh_degree=sh_degree,
                      means2d_offset=offset, max_per_tile=max_per_tile,
-                     pair_budget=pair_budget_mult * n)
+                     pair_budget=pair_budget_mult * n, backend=backend)
         pred = out.rgb
         gt = gt_image
         if loss_mode == "background":

@@ -29,7 +29,41 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...gs.gaussians import GaussianParams
-from . import binning, composite, geometry, pallas_composite
+from . import binning, composite, geometry, pallas_backward, pallas_composite
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _pallas_composite_diff(tiles_x, tiles_y, interpret, attrs_t, bg,
+                           seg_start_f, counts_f):
+    """Differentiable fused compositing: forward = pallas kernel,
+    backward = pallas backward kernel producing pair-space attr grads
+    (segment ints ride as f32 across the custom_vjp boundary)."""
+    return pallas_composite.composite_pallas(
+        attrs_t, seg_start_f.astype(jnp.int32), counts_f.astype(jnp.int32),
+        bg, tiles_x, tiles_y, interpret=interpret)
+
+
+def _pcd_fwd(tiles_x, tiles_y, interpret, attrs_t, bg, seg_start_f,
+             counts_f):
+    tiles8 = _pallas_composite_diff(tiles_x, tiles_y, interpret, attrs_t,
+                                    bg, seg_start_f, counts_f)
+    return tiles8, (attrs_t, bg, seg_start_f, counts_f, tiles8)
+
+
+def _pcd_bwd(tiles_x, tiles_y, interpret, res, g):
+    attrs_t, bg, seg_start_f, counts_f, tiles8 = res
+    d_attrs = pallas_backward.composite_pallas_bwd(
+        attrs_t, seg_start_f.astype(jnp.int32),
+        counts_f.astype(jnp.int32), bg, tiles8, g, tiles_x, tiles_y,
+        interpret=interpret)
+    # dL/dbg = sum_pixels T_fin * g_rgb
+    t_fin = tiles8[:, 4, :]
+    d_bg = jnp.einsum("tp,tcp->c", t_fin, g[:, 0:3, :])
+    return (d_attrs, d_bg, jnp.zeros_like(seg_start_f),
+            jnp.zeros_like(counts_f))
+
+
+_pallas_composite_diff.defvjp(_pcd_fwd, _pcd_bwd)
 
 
 @jax.tree_util.register_dataclass
@@ -98,9 +132,11 @@ def render(params: GaussianParams, camera: RenderCamera,
            interpret: bool = False) -> RenderOutput:
     """Render one view.
 
-    ``backend``: "xla" (differentiable, default) or "pallas" (fused TPU
-    kernel with per-tile early exit — forward-only for now; gradients of
-    the pallas path are not defined).
+    ``backend``: "xla" (default) or "pallas" (fused TPU kernels with
+    per-tile early exit). Both are fully differentiable; the pallas path
+    uses a custom VJP whose backward is a second fused kernel emitting
+    pair-space attribute gradients (reduced to gaussians by the gather's
+    own VJP).
     """
     n = params.capacity
     tile_h, tile_w = tile
@@ -135,10 +171,11 @@ def render(params: GaussianParams, camera: RenderCamera,
         packed = jnp.concatenate(
             [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)])
         gathered = packed[bins.gid_sorted]
-        tiles8 = pallas_composite.composite_pallas(
-            gathered.T, bins.seg_start, bins.counts,
-            jnp.asarray(bg_color, jnp.float32), tiles_x, tiles_y,
-            interpret=interpret)
+        tiles8 = _pallas_composite_diff(
+            tiles_x, tiles_y, interpret, gathered.T,
+            jnp.asarray(bg_color, jnp.float32),
+            bins.seg_start.astype(jnp.float32),
+            bins.counts.astype(jnp.float32))
         tile_rgb = jnp.swapaxes(tiles8[:, 0:3, :], 1, 2)   # [T, PIX, 3]
         tile_depth = tiles8[:, 3, :]
         tile_alpha = 1.0 - tiles8[:, 4, :]

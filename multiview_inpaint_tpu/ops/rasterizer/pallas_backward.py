@@ -1,0 +1,248 @@
+"""Pallas backward kernel for the fused compositing pass.
+
+Makes ``render(backend="pallas")`` fully differentiable without paying the
+XLA path's materialized [tiles, pixels, chunk] backward. The gradient
+identity (same as the CUDA rasterizer's backward, re-derived for the
+forward-order scan):
+
+    A_i  = g_rgb . c_i + g_d . d_i                (per pixel, per splat)
+    S_i  = TotalContrib - Prefix_i                (suffix, from outputs)
+    dL/dalpha_i = T_i A_i - (S_i + T_fin B) / (1 - alpha_i)
+    B    = g_rgb . bg + 15 g_d - g_alphaOut
+
+where TotalContrib = g_rgb.(C - T_fin bg) + g_d.(D - 15 T_fin) comes from
+the saved forward outputs — so backward is a SINGLE forward-order pass
+over the same chunk stream (recomputing alpha/T, carrying the prefix),
+with every per-splat parameter gradient a [PIX, CHUNK] column reduction
+(MXU matmuls against g and ones).
+
+Per-pair gradients are DMA'd to a [16, P_aligned] output at the same
+aligned offsets (grid is sequential on TPU — no races); the reduction to
+per-gaussian gradients is the VJP of the XLA gather that built the pair
+array, handled by autodiff in ``api.render``.
+
+Grad row layout: 0 d_mean_x, 1 d_mean_y, 2 d_conic_a, 3 d_conic_b,
+4 d_conic_c, 5 d_opacity, 6-8 d_rgb, 9 d_depth, 10-15 zero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .composite import ALPHA_MIN, DEPTH_EMPTY, T_STOP
+from .pallas_composite import CHUNK, PIX, TILE_H, TILE_W
+
+
+def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
+                bg_ref, gout_ref, scratch, gscratch, sems, gsem):
+    t = pl.program_id(0)
+    tiles_x = pl.num_programs(1)
+    tx = pl.program_id(1)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (tx * TILE_W + jnp.mod(lin, TILE_W)).astype(jnp.float32)
+    py = (t * TILE_H + lin // TILE_W).astype(jnp.float32)
+
+    row = t * tiles_x + tx
+    start = pl.multiple_of(starts_ref[row], CHUNK)
+    count = counts_ref[row]
+    n_chunks = pl.cdiv(count, CHUNK)
+
+    # Upstream grads + forward outputs for this tile: [8, PIX].
+    g = g_ref[0, 0]        # rows: 0-2 g_rgb, 3 g_depth, 4 g_alpha
+    fwd = out8_ref[0, 0]   # rows: 0-2 rgb, 3 depth, 4 T_fin
+    g_rgb = g[0:3, :].T            # [PIX, 3]
+    g_d = g[3:4, :].T              # [PIX, 1]
+    g_t = g[4:5, :].T              # [PIX, 1] dL/dT_fin (row 4 IS T_fin)
+    bg = bg_ref[0:3, 0]
+    t_fin = fwd[4:5, :].T          # [PIX, 1]
+    # B and TotalContrib from outputs (see module docstring).
+    b_term = (jnp.dot(g_rgb, bg[:, None],
+                      preferred_element_type=jnp.float32)
+              + DEPTH_EMPTY * g_d + g_t)                       # [PIX,1]
+    total_contrib = (jnp.sum(g_rgb * (fwd[0:3, :].T
+                                      - t_fin * bg[None, :]), axis=1,
+                             keepdims=True)
+                     + g_d * (fwd[3:4, :].T - DEPTH_EMPTY * t_fin))
+
+    def get_dma(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(start + chunk_idx * CHUNK, CHUNK)],
+            scratch.at[slot], sems.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    tri = (rows_t <= cols_t).astype(jnp.float32)
+
+    def cond(state):
+        i, t_carry, _ = state
+        return jnp.logical_and(i < n_chunks, jnp.max(t_carry) >= T_STOP)
+
+    def body(state):
+        i, t_carry, prefix = state
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            get_dma((i + 1) % 2, i + 1).start()
+
+        get_dma(i % 2, i).wait()
+        a = scratch[i % 2]  # [16, CHUNK]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        valid = (i * CHUNK + lane) < count
+        dx = px - a[0:1, :]
+        dy = py - a[1:2, :]
+        power = (-0.5 * (a[2:3, :] * dx * dx + a[4:5, :] * dy * dy)
+                 - a[3:4, :] * dx * dy)
+        alpha_raw = a[5:6, :] * jnp.exp(power)
+        unclipped = alpha_raw < 0.99
+        alpha = jnp.minimum(0.99, alpha_raw)
+        live = (alpha >= ALPHA_MIN) & valid & (power <= 0.0)
+        alpha = jnp.where(live, alpha, 0.0)
+        logs = jnp.log1p(-alpha)
+        cum = jax.lax.dot_general(
+            logs, tri, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        t_out = t_carry * jnp.exp(cum)
+        t_in = t_carry * jnp.exp(cum - logs)
+        contrib = t_out >= T_STOP
+        w = jnp.where(contrib, alpha * t_in, 0.0)
+
+        # A_i and running prefix of w_j A_j (inclusive).
+        cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0)  # [4,CHUNK]
+        g4 = jnp.concatenate([g_rgb, g_d], axis=1)             # [PIX,4]
+        A = jax.lax.dot_general(
+            g4, cd, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)                # [PIX,CHUNK]
+        wA = w * A
+        pref_in_chunk = jax.lax.dot_general(
+            wA, tri, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        prefix_i = prefix + pref_in_chunk                      # inclusive
+        suffix = total_contrib - prefix_i                      # [PIX,CHUNK]
+
+        one_m = jnp.where(alpha < 1.0, 1.0 - alpha, 1.0)
+        d_alpha = jnp.where(
+            contrib & live,
+            t_in * A - (suffix + t_fin * b_term) / one_m, 0.0)
+
+        # alpha -> (opacity, power); clip gate.
+        d_alpha_eff = jnp.where(unclipped, d_alpha, 0.0)
+        d_power = d_alpha_eff * alpha            # alpha=op*exp(power)
+        d_op_pp = d_alpha_eff * jnp.exp(power)   # [PIX, CHUNK]
+
+        ones_p = jnp.ones((1, PIX), jnp.float32)
+
+        def colsum(x):  # [PIX, CHUNK] -> [1, CHUNK]
+            return jax.lax.dot_general(
+                ones_p, x, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        d_a = colsum(d_power * (-0.5 * dx * dx))
+        d_b = colsum(d_power * (-dx * dy))
+        d_c = colsum(d_power * (-0.5 * dy * dy))
+        # power depends on means via dx = px - mx:
+        # dpower/dmx = a dx + b dy ; dpower/dmy = c dy + b dx
+        d_mx = colsum(d_power * (a[2:3, :] * dx + a[3:4, :] * dy))
+        d_my = colsum(d_power * (a[4:5, :] * dy + a[3:4, :] * dx))
+        d_opacity = colsum(d_op_pp)
+        # color/depth grads: w^T @ [g_rgb | g_d]
+        wg = jax.lax.dot_general(
+            w, g4, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # [CHUNK, 4]
+
+        grow = jnp.concatenate([
+            d_mx, d_my, d_a, d_b, d_c, d_opacity, wg.T,
+            jnp.zeros((6, CHUNK), jnp.float32)], axis=0)  # [16, CHUNK]
+        gscratch[:, :] = grow
+        cp = pltpu.make_async_copy(
+            gscratch,
+            gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
+            gsem)
+        cp.start()
+        cp.wait()
+
+        t_next = t_carry * jnp.exp(
+            jnp.sum(jnp.where(contrib, logs, 0.0), axis=1, keepdims=True))
+        prefix_next = prefix + jnp.sum(wA, axis=1, keepdims=True)
+        return i + 1, t_next, prefix_next
+
+    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32))
+    i_stop, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # Early-exit leaves later chunks (and their aligned padding) unwritten
+    # in the ANY-space output — zero-fill so the downstream gather-VJP
+    # reduction sees clean zeros.
+    def zero_fill(i, _):
+        gscratch[:, :] = jnp.zeros((16, CHUNK), jnp.float32)
+        cp = pltpu.make_async_copy(
+            gscratch,
+            gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
+            gsem)
+        cp.start()
+        cp.wait()
+        return 0
+
+    jax.lax.fori_loop(i_stop, n_chunks, zero_fill, 0)
+
+
+@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "interpret"))
+def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
+                         counts: jnp.ndarray, bg_color: jnp.ndarray,
+                         tiles8: jnp.ndarray, g_tiles8: jnp.ndarray,
+                         tiles_x: int, tiles_y: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Returns d(attrs_t) [16, P_aligned].
+
+    tiles8 / g_tiles8: forward outputs and their upstream grads,
+    [num_tiles, 8, PIX] (rows 0-2 rgb, 3 depth, 4 final-T / alpha grads —
+    caller converts d(alpha_out) into row 4 with the proper sign).
+    """
+    num_tiles = tiles_x * tiles_y
+    p_aligned = attrs_t.shape[1]
+    bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
+    t8 = tiles8.reshape(tiles_y, tiles_x, 8, PIX)
+    g8 = g_tiles8.reshape(tiles_y, tiles_x, 8, PIX)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # attrs (HBM)
+            pl.BlockSpec((1, 1, 8, PIX), lambda t, tx, *_: (t, tx, 0, 0),
+                         memory_space=pltpu.VMEM),  # upstream grads
+            pl.BlockSpec((1, 1, 8, PIX), lambda t, tx, *_: (t, tx, 0, 0),
+                         memory_space=pltpu.VMEM),  # forward outputs
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, CHUNK), jnp.float32),
+            pltpu.VMEM((16, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    grads = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((16, p_aligned), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        input_output_aliases={},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), attrs_t,
+      g8, t8, bg)
+    return grads

@@ -83,7 +83,8 @@ def train(args) -> None:
         state, metrics = gs_trainer.train_step(
             state, rcam, gt, bg, cfg, spatial_lr_scale=spatial,
             sh_degree=sh_degree, max_per_tile=args.max_per_tile,
-            pair_budget_mult=args.pair_budget_mult)
+            pair_budget_mult=args.pair_budget_mult,
+            backend=args.backend)
         key, sub = jax.random.split(key)
         state, info = gs_trainer.maybe_densify(state, sub, cfg, spatial,
                                                iteration)
@@ -173,6 +174,10 @@ def main(argv=None):
     parser.add_argument("--capacity", type=int, default=None)
     parser.add_argument("--max_per_tile", type=int, default=1024)
     parser.add_argument("--pair_budget_mult", type=int, default=8)
+    parser.add_argument("--backend", default="pallas",
+                        choices=["xla", "pallas"],
+                        help="rasterizer backend (pallas = fused TPU "
+                             "kernels; xla = portable path)")
     parser.add_argument("--log_interval", type=int, default=100)
     parser.add_argument("--live_view", type=int, default=0,
                         help="serve a browser live view on this port")

@@ -226,3 +226,27 @@ def test_render_sh_degree3_view_dependence():
                            pair_budget=64).rgb[16, 16]
     assert float(jnp.abs(c1 - c2).max()) > 1e-3  # view-dependent
     assert float(jnp.abs(c1 - c0).max()) > 1e-3  # higher orders used
+
+
+def test_pallas_backward_matches_xla_grads():
+    """Custom-VJP pallas backward vs XLA autodiff (interpret mode)."""
+    p = _random_scene(120, seed=3)
+    cam = _front_camera(width=48, height=32)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    target = jnp.asarray(
+        np.random.default_rng(0).random((32, 48, 3)), jnp.float32)
+
+    def loss(params, backend, interpret=False):
+        out = rasterizer.render(params, cam, bg, max_per_tile=512,
+                                pair_budget=8 * params.capacity,
+                                backend=backend, interpret=interpret)
+        return (jnp.mean((out.rgb - target) ** 2)
+                + 0.1 * jnp.mean(out.depth) + 0.05 * jnp.mean(out.alpha))
+
+    g_xla = jax.grad(lambda q: loss(q, "xla"), allow_int=True)(p)
+    g_pal = jax.grad(lambda q: loss(q, "pallas", True), allow_int=True)(p)
+    for f in ("xyz", "features_dc", "opacity", "scaling"):
+        a = np.asarray(getattr(g_xla, f))
+        b = np.asarray(getattr(g_pal, f))
+        np.testing.assert_allclose(b, a, atol=2e-6 + 1e-4 * np.abs(a).max(),
+                                   err_msg=f)

@@ -12,7 +12,6 @@ reference (bicubic resize, mean/std normalize).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -22,8 +22,7 @@ pure jitted functions.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import flax
 import jax
@@ -31,7 +30,7 @@ import jax.numpy as jnp
 
 from . import edm, losses as loss_mod, samplers
 from .clip_vit import CLIPVisionTower, ViTConfig
-from .conditioners import Conditioner, ConditionerConfig, repeat_cond_per_frame
+from .conditioners import Conditioner, repeat_cond_per_frame
 from .controlnet import ControlNet
 from .guiders import LinearPredictionGuider
 from .unet import UNetConfig, VideoUNet

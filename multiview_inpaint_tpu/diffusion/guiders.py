@@ -14,7 +14,7 @@ doubled) network batch, ``combine`` folds the prediction back.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 

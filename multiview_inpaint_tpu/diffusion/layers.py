@@ -14,7 +14,6 @@ with bf16 compute handled by the caller's dtype policy.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -23,10 +22,9 @@ import jax.numpy as jnp
 
 def timestep_embedding(t: jnp.ndarray, dim: int,
                        max_period: float = 10000.0) -> jnp.ndarray:
-    """[N] timesteps -> [N, dim] sinusoidal embedding (torch ordering:
-    cos after sin? reference uses cat([cos, sin]) — openai impl uses
-    cat([cos, sin]); sgm's timestep_embedding matches openai:
-    [cos, sin])."""
+    """[N] timesteps -> [N, dim] sinusoidal embedding, [cos | sin]
+    ordering (sgm/openai ``timestep_embedding`` convention — matters for
+    weight import)."""
     half = dim // 2
     freqs = jnp.exp(-math.log(max_period)
                     * jnp.arange(half, dtype=jnp.float32) / half)

@@ -9,10 +9,9 @@ kernel (3,1,1) over (T, H, W) merged through a learned AlphaBlender.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from .layers import AlphaBlender, GroupNorm32
 

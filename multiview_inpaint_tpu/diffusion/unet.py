@@ -24,7 +24,7 @@ hidden state — the ControlNet reuses this class for its trunk.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ must provide the weight files).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -230,8 +230,7 @@ def maybe_densify(state: TrainState, key: jax.Array,
     return state, info
 
 
-def grow_if_needed(state: TrainState, info: dict,
-                   slack: float = 0.9) -> TrainState:
+def grow_if_needed(state: TrainState, info: dict) -> TrainState:
     """Double capacity when densification ran out of free slots."""
     if info and info.get("granted", 0) < info.get("wanted", 0):
         new_cap = state.params.capacity * 2
@@ -239,7 +238,7 @@ def grow_if_needed(state: TrainState, info: dict,
                                                   new_cap)
         import numpy as np
 
-        def pad_like(d, ref):
+        def pad_moments(d):
             out = {}
             for f in _FIELDS:
                 a = np.asarray(d[f])
@@ -248,7 +247,7 @@ def grow_if_needed(state: TrainState, info: dict,
                 out[f] = jnp.asarray(np.pad(a, widths))
             return out
 
-        return TrainState(params=params, mu=pad_like(state.mu, params),
-                          nu=pad_like(state.nu, params), stats=stats,
+        return TrainState(params=params, mu=pad_moments(state.mu),
+                          nu=pad_moments(state.nu), stats=stats,
                           step=state.step)
     return state

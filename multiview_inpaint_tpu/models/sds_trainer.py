@@ -9,7 +9,6 @@ the rasterizer and the VAE encoder.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple
 

@@ -11,7 +11,7 @@ gradient mean into an ICI psum. Optional EMA of the ControlNet params
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

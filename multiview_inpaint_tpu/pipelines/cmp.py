@@ -18,7 +18,6 @@ import os
 
 import numpy as np
 
-from ..config.registries import INSERTION_PROMPTS, SCENE_DESCRIPTIONS
 from ..gs import scene_io
 from ..metrics import metrics as M
 

@@ -13,7 +13,7 @@ import dataclasses
 import json
 import os
 
-from ..models.gs_trainer import OptimizationConfig, INPAINT_OPT
+from ..models.gs_trainer import OptimizationConfig
 
 
 @dataclasses.dataclass

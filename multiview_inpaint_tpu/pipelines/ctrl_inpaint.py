@@ -123,7 +123,6 @@ def main(argv=None):
         eps2 = jnp.concatenate([eps_g, eps_g], axis=0)
         return x - eps2 * sigmas_vec[:, None, None, None]
 
-    from ..diffusion.guiders import IdentityGuider
     sigmas = jnp.concatenate(
         [edm.legacy_ddpm_sigmas(args.num_steps), jnp.zeros((1,))])
 

@@ -26,7 +26,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..data.svd_dataset import EstSVDForwardDataset, epoch_iterator
 from ..diffusion import checkpoint as ckpt

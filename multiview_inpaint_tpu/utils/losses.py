@@ -11,7 +11,6 @@ XLA lowers it to cheap fused VPU work rather than a grouped MXU conv.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

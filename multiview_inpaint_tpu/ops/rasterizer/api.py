@@ -167,6 +167,11 @@ def render(params: GaussianParams, camera: RenderCamera,
             raise ValueError("pallas backend requires 16x16 tiles")
         packed = pallas_composite.pack_attrs(
             proj.means2d, proj.conic, proj.opacity, proj.color, proj.depth)
+        if bins.order is not None:
+            # gid_sorted is in depth-rank space: reorder the attribute
+            # table once (N-sized gather) so the big pair gather needs no
+            # order[] indirection.
+            packed = packed[bins.order]
         # Sentinel row (id == N) for alignment padding: zero opacity.
         packed = jnp.concatenate(
             [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)])

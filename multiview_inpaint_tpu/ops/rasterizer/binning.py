@@ -29,8 +29,10 @@ class TileBins(NamedTuple):
     valid: jnp.ndarray      # [T, K] bool
     counts: jnp.ndarray     # [T] int32 (uncapped true per-tile counts)
     total_pairs: jnp.ndarray  # [] int32 (true total; > P means overflow)
-    gid_sorted: jnp.ndarray   # [P] int32 pair-sorted gaussian ids
+    gid_sorted: jnp.ndarray   # [P] int32 pair-sorted gaussian ids;
+    # depth-RANK space when ``order`` is set (index into params[order])
     seg_start: jnp.ndarray    # [T] int32 segment starts into gid_sorted
+    order: jnp.ndarray | None  # [N] depth argsort, or None (fallback)
 
 
 def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
@@ -78,19 +80,27 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     total = ends[-1] if n > 0 else jnp.int32(0)
 
     # Pair slot j belongs to gaussian i = last index with starts[i] <= j.
-    # searchsorted lowers to a slow gather loop on TPU; a scatter of "+1
-    # at every segment start" followed by an inclusive cumsum gives the
-    # same mapping in two fast vector passes (count-0 gaussians collapse
-    # onto the next start and are skipped by the jump, as required).
+    # TPU gathers over millions of slots are pathologically slow, so ALL
+    # per-slot lookups of piecewise-constant per-gaussian values (gid,
+    # starts, x0, y0, rect_w) telescope through ONE small scatter of
+    # per-gaussian deltas at the segment starts + cumsums over the slot
+    # axis (duplicate starts from count-0 gaussians accumulate their
+    # deltas, which telescopes to the correct next value).
     slots = jnp.arange(pair_budget, dtype=jnp.int32)
-    marks = jnp.zeros((pair_budget,), jnp.int32).at[starts].add(
-        1, mode="drop")
-    gid = jnp.cumsum(marks) - 1
-    gid_c = jnp.clip(gid, 0, n - 1)
-    local = slots - starts[gid_c]
-    w = jnp.maximum(rect_w[gid_c], 1)
-    tx = x0[gid_c] + local % w
-    ty = y0[gid_c] + local // w
+
+    def d(v):
+        return jnp.diff(jnp.concatenate([jnp.zeros((1,), v.dtype), v]))
+
+    deltas = jnp.stack([jnp.ones((n,), jnp.int32), d(starts), d(x0),
+                        d(y0), d(rect_w)], axis=1)  # [N, 5]
+    carried = jnp.cumsum(
+        jnp.zeros((pair_budget, 5), jnp.int32).at[starts].add(
+            deltas, mode="drop"), axis=0)
+    gid_c = jnp.clip(carried[:, 0] - 1, 0, n - 1)
+    local = slots - carried[:, 1]
+    w = jnp.maximum(carried[:, 4], 1)
+    tx = carried[:, 2] + local % w
+    ty = carried[:, 3] + local // w
     tile = ty * tiles_x + tx
     invalid = slots >= total
     tile = jnp.where(invalid, num_tiles, tile).astype(jnp.int32)
@@ -101,7 +111,9 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         key_s = jnp.sort(key)
         tile_s = jnp.where(key_s == 2 ** 31 - 1, num_tiles,
                            key_s >> gid_bits).astype(jnp.int32)
-        gid_s = order[key_s & ((1 << gid_bits) - 1)].astype(jnp.int32)
+        # gid stays in depth-RANK space: callers index params[order].
+        gid_s = jnp.where(key_s == 2 ** 31 - 1, n,
+                          key_s & ((1 << gid_bits) - 1)).astype(jnp.int32)
     else:
         # Lexicographic (tile, depth) sort over all operands.
         sort_depth = jnp.where(invalid, jnp.inf, depth[gid_c])
@@ -117,6 +129,9 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         k = jnp.arange(max_per_tile, dtype=jnp.int32)
         idx = jnp.clip(seg_start[:, None] + k[None, :], 0, pair_budget - 1)
         ids = gid_s[idx]
+        if packed_ok:
+            # XLA-path consumers index original-order arrays.
+            ids = order[jnp.clip(ids, 0, n - 1)].astype(jnp.int32)
         valid = k[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
     else:
         ids = jnp.zeros((0, 0), jnp.int32)
@@ -157,11 +172,11 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
             in_seg, gid_s[jnp.clip(src, 0, pair_budget - 1)], n)
         return TileBins(ids=ids, valid=valid, counts=counts,
                         total_pairs=total, gid_sorted=gid_aligned,
-                        seg_start=start_aligned)
+                        seg_start=start_aligned, order=order)
 
     return TileBins(ids=ids, valid=valid, counts=counts,
                     total_pairs=total, gid_sorted=gid_s,
-                    seg_start=seg_start.astype(jnp.int32))
+                    seg_start=seg_start.astype(jnp.int32), order=order)
 
 
 def _lex_sort(tile, depth, gid):

@@ -39,6 +39,11 @@ def train(args) -> None:
     common.dump_cfg(model_path, args)
     logger = RunLogger(model_path)
 
+    if args.backend == "auto":
+        args.backend = ("pallas" if jax.default_backend() not in
+                        ("cpu",) else "xla")
+        logger.echo(f"rasterizer backend: {args.backend}")
+
     scene = Scene(args.source_path, model_path, resolution=args.resolution,
                   eval_split=args.eval, max_sh_degree=args.sh_degree,
                   white_background=args.white_background,
@@ -173,10 +178,11 @@ def main(argv=None):
     parser.add_argument("--capacity", type=int, default=None)
     parser.add_argument("--max_per_tile", type=int, default=1024)
     parser.add_argument("--pair_budget_mult", type=int, default=8)
-    parser.add_argument("--backend", default="pallas",
-                        choices=["xla", "pallas"],
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "xla", "pallas"],
                         help="rasterizer backend (pallas = fused TPU "
-                             "kernels; xla = portable path)")
+                             "kernels; xla = portable path; auto picks "
+                             "pallas on TPU)")
     parser.add_argument("--log_interval", type=int, default=100)
     parser.add_argument("--live_view", type=int, default=0,
                         help="serve a browser live view on this port")

@@ -156,6 +156,10 @@ def train(args):
                     state, opt_state, ema, loss = step_fn(
                         state, opt_state, ema, k, latents_b, cond_b)
                 gstep += 1
+                if args.log_images_every and \
+                        gstep % args.log_images_every == 0:
+                    _log_images(eng, state, latents_b, cond_b, key,
+                                args, gstep)
                 if gstep % args.log_interval == 0:
                     logger.log(gstep, epoch=epoch, loss=loss,
                                sec_per_step=(time.time() - t0)
@@ -168,6 +172,27 @@ def train(args):
         save("last")  # crash checkpoint (reference SetupCallback)
         raise
     logger.close()
+
+
+def _log_images(eng, state, latents_b, cond_b, key, args, gstep):
+    """Periodic sample grids during training (the reference ImageLogger,
+    main.py:309-487): sample the current model on the first batch item
+    and write a 4-wide grid under <logdir>/log_img/train."""
+    import numpy as np
+
+    from ..gs import scene_io
+    from .svd_test import to_grid
+    cond = {k: v[0] for k, v in cond_b.items()}
+    t = args.num_frames
+    h8, w8 = args.size[0] // 8, args.size[1] // 8
+    uc = dict(cond)
+    uc["crossattn"] = jnp.zeros_like(cond["crossattn"])
+    uc["concat"] = jnp.zeros_like(cond["concat"])
+    z = eng.sample(state, key, cond, uc, latent_shape=(t, h8, w8, 4))
+    frames = np.asarray(eng.decode_first_stage(state, z, timesteps=t))
+    out = os.path.join(args.logdir, "log_img", "train",
+                       f"samples_gs-{gstep:06d}.png")
+    scene_io.save_image(out, to_grid(frames))
 
 
 def main(argv=None):
@@ -197,6 +222,9 @@ def main(argv=None):
     p.add_argument("--accumulate", type=int, default=1)
     p.add_argument("--ckpt_every", type=int, default=5)
     p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--log_images_every", type=int, default=0,
+                   help="sample + save a train grid every N steps "
+                        "(ImageLogger parity; 0 = off)")
     p.add_argument("--seed", type=int, default=23)
     p.add_argument("--tiny_model", action="store_true",
                    help="debug-size model for smoke tests")

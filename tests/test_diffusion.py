@@ -316,3 +316,40 @@ def test_engine_sample_inversion(tiny_engine):
                                mask, num_steps=2)
     assert out.shape == z.shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sampling_pipeline_api():
+    from multiview_inpaint_tpu.diffusion.api import (Discretization,
+                                                     Guider, Sampler,
+                                                     SamplingParams,
+                                                     SamplingPipeline)
+    target = jnp.asarray(np.random.default_rng(9).normal(size=(2, 8, 8, 4)),
+                         jnp.float32)
+
+    def denoise_fn(x, s, c):
+        return jnp.broadcast_to(target, x.shape)
+
+    for sampler in (Sampler.EULER_EDM, Sampler.HEUN_EDM,
+                    Sampler.EULER_ANCESTRAL, Sampler.DPMPP2M):
+        p = SamplingParams(sampler=sampler, steps=8, sigma_max=80.0,
+                           guider=Guider.IDENTITY)
+        pipe = SamplingPipeline(denoise_fn, p)
+        out = pipe.sample(jax.random.key(0), target.shape, {}, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(target),
+                                   atol=0.25, err_msg=str(sampler))
+
+    # blended needs z/mask
+    p = SamplingParams(sampler=Sampler.EULER_EDM_BLENDED, steps=8,
+                       sigma_max=80.0, guider=Guider.IDENTITY)
+    pipe = SamplingPipeline(denoise_fn, p)
+    z = jnp.zeros_like(target)
+    mask = jnp.ones_like(target)
+    out = pipe.sample(jax.random.key(1), target.shape, {}, None, z=z,
+                      mask=mask)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # legacy DDPM discretization builds a valid ladder
+    from multiview_inpaint_tpu.diffusion.api import build_sigmas
+    s = np.asarray(build_sigmas(SamplingParams(
+        discretization=Discretization.LEGACY_DDPM, steps=10)))
+    assert s[-1] == 0 and np.all(np.diff(s[:-1]) < 0)

@@ -85,12 +85,18 @@ def init_engine(cfg: EngineConfig, key: jax.Array,
     ctx = jnp.zeros((t, 1, cfg.unet.context_dim))
     y = jnp.zeros((t, cfg.unet.adm_in_channels))
     ind = jnp.zeros((t // t, t))
-    unet_p = unet.init(k1, x, ts, ctx, y, num_video_frames=t,
-                       image_only_indicator=ind)["params"]
-    cnet_p = cnet.init(k2, x, hint, ts, ctx, y, num_video_frames=t,
-                       image_only_indicator=ind)["params"]
-    vae_p = vae.init(k3, jnp.zeros((1, 64, 64, 3)))["params"]
-    clip_p = clip.init(k4, jnp.zeros((1, 64, 64, 3)))["params"]
+    # jit the inits: eager init runs op-by-op, which is pathologically
+    # slow over remote-attached TPUs (one round trip per parameter).
+    unet_p = jax.jit(lambda k: unet.init(
+        k, x, ts, ctx, y, num_video_frames=t,
+        image_only_indicator=ind))(k1)["params"]
+    cnet_p = jax.jit(lambda k: cnet.init(
+        k, x, hint, ts, ctx, y, num_video_frames=t,
+        image_only_indicator=ind))(k2)["params"]
+    vae_p = jax.jit(lambda k: vae.init(
+        k, jnp.zeros((1, 64, 64, 3))))(k3)["params"]
+    clip_p = jax.jit(lambda k: clip.init(
+        k, jnp.zeros((1, 64, 64, 3))))(k4)["params"]
     state = EngineState(unet=unet_p, controlnet=cnet_p, vae=vae_p,
                         clip=clip_p)
     return init_controlnet_from_unet(state)

@@ -74,7 +74,17 @@ def build_models(cfg: EngineConfig):
 
 def init_engine(cfg: EngineConfig, key: jax.Array,
                 latent_hw: Tuple[int, int] = (64, 48),
-                image_hw: Tuple[int, int] = (512, 384)) -> EngineState:
+                image_hw: Tuple[int, int] = (512, 384),
+                param_dtype: Optional[str] = None) -> EngineState:
+    """Create parameters.
+
+    ``param_dtype="bfloat16"`` stores the UNet/ControlNet/CLIP weights in
+    bf16 (the VAE stays f32 — ``disable_first_stage_autocast`` parity);
+    the full-size SVD stack is ~2.9B params and needs bf16 storage to fit
+    a 16GB chip alongside activations. Inits are jitted (eager init is
+    one device round trip per parameter — pathological on
+    remote-attached TPUs) and run sequentially to bound peak memory.
+    """
     unet, cnet, vae, clip = build_models(cfg)
     t = 2  # tiny time axis is enough to create every parameter
     kh, kw = latent_hw
@@ -85,18 +95,32 @@ def init_engine(cfg: EngineConfig, key: jax.Array,
     ctx = jnp.zeros((t, 1, cfg.unet.context_dim))
     y = jnp.zeros((t, cfg.unet.adm_in_channels))
     ind = jnp.zeros((t // t, t))
-    # jit the inits: eager init runs op-by-op, which is pathologically
-    # slow over remote-attached TPUs (one round trip per parameter).
-    unet_p = jax.jit(lambda k: unet.init(
+
+    cast = None
+    if param_dtype is not None and jnp.dtype(param_dtype) != jnp.float32:
+        pd = jnp.dtype(param_dtype)
+
+        def cast(tree):  # noqa: F811
+            return jax.tree_util.tree_map(
+                lambda a: a.astype(pd) if a.dtype == jnp.float32 else a,
+                tree)
+
+    def run(f, k):
+        p = jax.jit(f)(k)["params"]
+        if cast is not None:
+            p = jax.block_until_ready(cast(p))
+        return p
+
+    unet_p = run(lambda k: unet.init(
         k, x, ts, ctx, y, num_video_frames=t,
-        image_only_indicator=ind))(k1)["params"]
-    cnet_p = jax.jit(lambda k: cnet.init(
+        image_only_indicator=ind), k1)
+    cnet_p = run(lambda k: cnet.init(
         k, x, hint, ts, ctx, y, num_video_frames=t,
-        image_only_indicator=ind))(k2)["params"]
+        image_only_indicator=ind), k2)
     vae_p = jax.jit(lambda k: vae.init(
-        k, jnp.zeros((1, 64, 64, 3))))(k3)["params"]
-    clip_p = jax.jit(lambda k: clip.init(
-        k, jnp.zeros((1, 64, 64, 3))))(k4)["params"]
+        k, jnp.zeros((1, 64, 64, 3))))(k3)["params"]  # f32 always
+    clip_p = run(lambda k: clip.init(
+        k, jnp.zeros((1, 64, 64, 3))), k4)
     state = EngineState(unet=unet_p, controlnet=cnet_p, vae=vae_p,
                         clip=clip_p)
     return init_controlnet_from_unet(state)

@@ -105,8 +105,13 @@ def init_engine(cfg: EngineConfig, key: jax.Array,
                 lambda a: a.astype(pd) if a.dtype == jnp.float32 else a,
                 tree)
 
+    # Jitted init matters on remote/accelerator backends (eager init is
+    # one round trip per parameter); on CPU the compile costs more than
+    # it saves, so init eagerly there.
+    maybe_jit = (lambda f: f) if jax.default_backend() == "cpu" else jax.jit
+
     def run(f, k):
-        p = jax.jit(f)(k)["params"]
+        p = maybe_jit(f)(k)["params"]
         if cast is not None:
             p = jax.block_until_ready(cast(p))
         return p
@@ -117,7 +122,7 @@ def init_engine(cfg: EngineConfig, key: jax.Array,
     cnet_p = run(lambda k: cnet.init(
         k, x, hint, ts, ctx, y, num_video_frames=t,
         image_only_indicator=ind), k2)
-    vae_p = jax.jit(lambda k: vae.init(
+    vae_p = maybe_jit(lambda k: vae.init(
         k, jnp.zeros((1, 64, 64, 3))))(k3)["params"]  # f32 always
     clip_p = run(lambda k: clip.init(
         k, jnp.zeros((1, 64, 64, 3))), k4)

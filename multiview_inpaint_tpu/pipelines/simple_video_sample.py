@@ -39,6 +39,11 @@ def main(argv=None):
     p.add_argument("--motion_bucket_id", type=float, default=127)
     p.add_argument("--cond_aug", type=float, default=0.02)
     p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--param_dtype", default="bfloat16",
+                   help="weight storage dtype for the full-size "
+                        "model (2.9B params need bf16 on 16GB chips)")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--tiny_model", action="store_true")
     args = p.parse_args(argv)
 
@@ -57,10 +62,13 @@ def main(argv=None):
             num_frames=args.num_frames, num_steps=args.num_steps)
     else:
         cfg = EngineConfig(num_frames=args.num_frames,
-                           num_steps=args.num_steps)
+                           num_steps=args.num_steps,
+                           compute_dtype=args.compute_dtype)
     eng = SVDEngine(cfg)
     state = init_engine(cfg, jax.random.key(args.seed),
-                        latent_hw=(args.size[0] // 8, args.size[1] // 8))
+                        latent_hw=(args.size[0] // 8, args.size[1] // 8),
+                        param_dtype=(None if args.tiny_model
+                                     else args.param_dtype))
     if args.base_ckpt:
         loaded = ckpt.load_params(args.base_ckpt)
         merged, missing, _ = ckpt.merge_params(

@@ -62,14 +62,17 @@ def _engine_config(args) -> EngineConfig:
             vit=_dc.replace(TINY_VIT, output_dim=16),
             num_frames=args.num_frames, num_steps=args.num_steps)
     return EngineConfig(num_frames=args.num_frames,
-                        num_steps=args.num_steps)
+                        num_steps=args.num_steps,
+                        compute_dtype=args.compute_dtype)
 
 
 def run(args):
     cfg = _engine_config(args)
     eng = SVDEngine(cfg)
     state = init_engine(cfg, jax.random.key(args.seed),
-                        latent_hw=(args.size[0] // 8, args.size[1] // 8))
+                        latent_hw=(args.size[0] // 8, args.size[1] // 8),
+                        param_dtype=(None if args.tiny_model
+                                     else args.param_dtype))
     if args.base_ckpt:
         loaded = ckpt.load_params(args.base_ckpt)
         merged, missing, unexpected = ckpt.merge_params(
@@ -149,6 +152,11 @@ def main(argv=None):
                         "per-step latent blending, inversion="
                         "EulerEDMSampler3 DDIM-inversion resampling")
     p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--param_dtype", default="bfloat16",
+                   help="weight storage dtype for the full-size "
+                        "model (2.9B params need bf16 on 16GB chips)")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--tiny_model", action="store_true",
                    help="debug-size model for smoke tests")
     run(p.parse_args(argv))

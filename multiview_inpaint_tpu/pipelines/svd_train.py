@@ -53,7 +53,8 @@ def _engine_config(args) -> EngineConfig:
             vae=VAEConfig(ch=16, ch_mult=(1, 2, 4, 4), num_res_blocks=1),
             vit=_dc.replace(TINY_VIT, output_dim=16),
             num_frames=args.num_frames)
-    return EngineConfig(num_frames=args.num_frames)
+    return EngineConfig(num_frames=args.num_frames,
+                    compute_dtype=args.compute_dtype)
 
 
 def train(args):
@@ -62,7 +63,9 @@ def train(args):
     key = jax.random.key(args.seed)
     key, init_key = jax.random.split(key)
     state = init_engine(cfg, init_key,
-                        latent_hw=(args.size[0] // 8, args.size[1] // 8))
+                        latent_hw=(args.size[0] // 8, args.size[1] // 8),
+                        param_dtype=(None if args.tiny_model
+                                     else args.param_dtype))
     if args.base_ckpt:
         if args.base_ckpt.endswith((".safetensors", ".ckpt", ".pth")):
             from ..diffusion import weights_io
@@ -226,6 +229,11 @@ def main(argv=None):
                    help="sample + save a train grid every N steps "
                         "(ImageLogger parity; 0 = off)")
     p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--param_dtype", default="bfloat16",
+                   help="weight storage dtype for the full-size "
+                        "model (2.9B params need bf16 on 16GB chips)")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--tiny_model", action="store_true",
                    help="debug-size model for smoke tests")
     train(p.parse_args(argv))

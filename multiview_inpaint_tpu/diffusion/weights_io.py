@@ -277,3 +277,130 @@ def import_vae(flax_params: Dict, state_dict: Dict[str, np.ndarray],
         if path:
             mapped[tuple(path)] = v
     return _merge(flax_params, mapped)
+
+
+# ---------------------------------------------------------------------------
+# OpenCLIP towers (vision inside the SVD ckpt, text from an OpenCLIP ckpt).
+# torch ``nn.MultiheadAttention`` packs QKV into ``in_proj_weight`` [3W, W]
+# applied as x @ W.T; flax splits per head:
+# query/key/value kernel [W, H, W/H], out kernel [H, W/H, W]. These leaves
+# are emitted already in flax layout, so the merge is exact (no generic
+# transpose pass).
+
+def _map_clip_tower(sd: Dict[str, np.ndarray],
+                    heads: int) -> Dict[Tuple[str, ...], np.ndarray]:
+    """OpenCLIP tower state dict (tower prefix stripped) -> flax leaves."""
+    mapped: Dict[Tuple[str, ...], np.ndarray] = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if parts[:2] == ["transformer", "resblocks"]:
+            block = f"resblocks_{parts[2]}"
+            rest, leaf = parts[3:-1], parts[-1]
+            if rest and rest[0] == "attn":
+                w = v.shape[-1]
+                hd = w // heads
+                if leaf == "in_proj_weight":
+                    for name, chunk in zip(
+                            ("query", "key", "value"),
+                            np.split(v, 3, axis=0)):
+                        mapped[(block, "attn", name, "kernel")] = \
+                            chunk.T.reshape(w, heads, hd)
+                elif leaf == "in_proj_bias":
+                    w3 = v.shape[0] // 3
+                    for name, chunk in zip(
+                            ("query", "key", "value"),
+                            np.split(v, 3, axis=0)):
+                        mapped[(block, "attn", name, "bias")] = \
+                            chunk.reshape(heads, w3 // heads)
+                elif rest[1:] == ["out_proj"] and leaf == "weight":
+                    mapped[(block, "attn", "out", "kernel")] = \
+                        v.T.reshape(heads, hd, w)
+                elif rest[1:] == ["out_proj"] and leaf == "bias":
+                    mapped[(block, "attn", "out", "bias")] = v
+                continue
+            if rest and rest[0] in ("ln_1", "ln_2"):
+                mapped[(block, rest[0],
+                        "scale" if leaf == "weight" else "bias")] = v
+            elif rest[:2] in (["mlp", "c_fc"], ["mlp", "c_proj"]):
+                mapped[(block, f"mlp_{rest[1]}",
+                        "kernel" if leaf == "weight" else "bias")] = \
+                    (v.T if leaf == "weight" else v)
+            continue
+        if k in ("class_embedding", "positional_embedding", "proj",
+                 "text_projection"):
+            mapped[(k,)] = v
+        elif k == "token_embedding.weight":
+            mapped[("token_embedding", "embedding")] = v
+        elif k == "conv1.weight":
+            mapped[("conv1", "kernel")] = v.transpose(2, 3, 1, 0)
+        elif parts[0] in ("ln_pre", "ln_post", "ln_final"):
+            mapped[(parts[0],
+                    "scale" if parts[-1] == "weight" else "bias")] = v
+        # logit_scale / attn_mask buffers are intentionally dropped.
+    return mapped
+
+
+def _merge_exact(flax_params: Dict,
+                 mapped: Dict[Tuple[str, ...], np.ndarray]):
+    flat = dict(flatten_dict(flax_params))
+    unexpected = []
+    for k, v in mapped.items():
+        if k in flat and tuple(v.shape) == tuple(flat[k].shape):
+            flat[k] = jnp.asarray(v)
+        else:
+            unexpected.append("/".join(k) + (
+                f" shape {v.shape} vs {flat[k].shape}" if k in flat
+                else ""))
+    missing = ["/".join(k) for k in flat if k not in mapped]
+    return unflatten_dict(flat), missing, unexpected
+
+
+def import_clip_vision(
+        flax_params: Dict, state_dict: Dict[str, np.ndarray],
+        prefix: str = "conditioner.embedders.0.open_clip.model.visual.",
+        heads: int = 16):
+    """OpenCLIP ViT visual tower -> :class:`clip_vit.CLIPVisionTower`.
+
+    Default prefix matches the SVD checkpoint's image-conditioner key
+    space (reference ``sgm/modules/encoders/modules.py:597-667``); pass
+    ``prefix="visual."`` for a standalone OpenCLIP checkpoint."""
+    sub = {k[len(prefix):]: v for k, v in state_dict.items()
+           if k.startswith(prefix)}
+    return _merge_exact(flax_params, _map_clip_tower(sub, heads))
+
+
+def import_svd(params: Dict[str, Dict], state_dict: Dict[str, np.ndarray],
+               clip_heads: int = 16):
+    """One-call import of a full SVD torch checkpoint.
+
+    ``params`` is ``{"unet": ..., "vae": ..., "clip": ...}`` (any subset);
+    returns ``(updated_params, report)`` where report maps each present
+    key to ``(n_missing, n_unexpected)``. The checkpoint carries the UNet
+    under ``model.diffusion_model.``, the KL-VAE under
+    ``first_stage_model.`` and the OpenCLIP-H visual tower under the
+    image conditioner (reference ``sgm/models/diffusion.py:93-128``)."""
+    out, report = dict(params), {}
+    if "unet" in params:
+        out["unet"], m, u = import_unet(params["unet"], state_dict)
+        report["unet"] = (len(m), len(u))
+    if "vae" in params:
+        out["vae"], m, u = import_vae(params["vae"], state_dict)
+        report["vae"] = (len(m), len(u))
+    if "clip" in params:
+        out["clip"], m, u = import_clip_vision(params["clip"], state_dict,
+                                               heads=clip_heads)
+        report["clip"] = (len(m), len(u))
+    return out, report
+
+
+def import_clip_text(flax_params: Dict,
+                     state_dict: Dict[str, np.ndarray],
+                     prefix: str = "", heads: int = 16):
+    """OpenCLIP text tower -> :class:`clip_text.CLIPTextTower`.
+
+    In a standalone OpenCLIP checkpoint text keys sit at the root next to
+    ``visual.*`` (which is skipped); pass a prefix for wrapped ckpts."""
+    sub = {k[len(prefix):]: v for k, v in state_dict.items()
+           if k.startswith(prefix)
+           and not k[len(prefix):].startswith("visual.")}
+    return _merge_exact(flax_params, _map_clip_tower(sub, heads))

@@ -70,12 +70,21 @@ def main(argv=None):
                         param_dtype=(None if args.tiny_model
                                      else args.param_dtype))
     if args.base_ckpt:
-        loaded = ckpt.load_params(args.base_ckpt)
-        merged, missing, _ = ckpt.merge_params(
-            {"unet": state.unet, "vae": state.vae, "clip": state.clip},
-            loaded)
-        state = dataclasses.replace(state, **merged)
-        print(f"base ckpt: {len(missing)} missing")
+        if args.base_ckpt.endswith((".safetensors", ".ckpt", ".pth")):
+            from ..diffusion import weights_io
+            sd = weights_io.load_torch_state_dict(args.base_ckpt)
+            merged, report = weights_io.import_svd(
+                {"unet": state.unet, "vae": state.vae,
+                 "clip": state.clip}, sd, clip_heads=cfg.vit.heads)
+            state = dataclasses.replace(state, **merged)
+            print(f"torch base ckpt (missing, unexpected): {report}")
+        else:
+            loaded = ckpt.load_params(args.base_ckpt)
+            merged, missing, _ = ckpt.merge_params(
+                {"unet": state.unet, "vae": state.vae,
+                 "clip": state.clip}, loaded)
+            state = dataclasses.replace(state, **merged)
+            print(f"base ckpt: {len(missing)} missing")
 
     img = scene_io.load_image(args.image,
                               (args.size[1], args.size[0])) * 2 - 1

@@ -74,13 +74,22 @@ def run(args):
                         param_dtype=(None if args.tiny_model
                                      else args.param_dtype))
     if args.base_ckpt:
-        loaded = ckpt.load_params(args.base_ckpt)
-        merged, missing, unexpected = ckpt.merge_params(
-            {"unet": state.unet, "vae": state.vae, "clip": state.clip},
-            loaded)
-        state = dataclasses.replace(state, **merged)
-        print(f"base ckpt: {len(missing)} missing, "
-              f"{len(unexpected)} unexpected")
+        if args.base_ckpt.endswith((".safetensors", ".ckpt", ".pth")):
+            from ..diffusion import weights_io
+            sd = weights_io.load_torch_state_dict(args.base_ckpt)
+            merged, report = weights_io.import_svd(
+                {"unet": state.unet, "vae": state.vae,
+                 "clip": state.clip}, sd, clip_heads=cfg.vit.heads)
+            state = dataclasses.replace(state, **merged)
+            print(f"torch base ckpt (missing, unexpected): {report}")
+        else:
+            loaded = ckpt.load_params(args.base_ckpt)
+            merged, missing, unexpected = ckpt.merge_params(
+                {"unet": state.unet, "vae": state.vae,
+                 "clip": state.clip}, loaded)
+            state = dataclasses.replace(state, **merged)
+            print(f"base ckpt: {len(missing)} missing, "
+                  f"{len(unexpected)} unexpected")
     if args.ctrl_ckpt:
         cn, missing, unexpected = ckpt.merge_params(
             state.controlnet, ckpt.load_params(args.ctrl_ckpt))

@@ -70,11 +70,11 @@ def train(args):
         if args.base_ckpt.endswith((".safetensors", ".ckpt", ".pth")):
             from ..diffusion import weights_io
             sd = weights_io.load_torch_state_dict(args.base_ckpt)
-            up, m, _ = weights_io.import_unet(state.unet, sd)
-            vp, m2, _ = weights_io.import_vae(state.vae, sd)
-            state = dataclasses.replace(state, unet=up, vae=vp)
-            print(f"torch base ckpt: unet missing {len(m)}, "
-                  f"vae missing {len(m2)}")
+            merged, report = weights_io.import_svd(
+                {"unet": state.unet, "vae": state.vae,
+                 "clip": state.clip}, sd, clip_heads=cfg.vit.heads)
+            state = dataclasses.replace(state, **merged)
+            print(f"torch base ckpt (missing, unexpected): {report}")
         else:
             loaded = ckpt.load_params(args.base_ckpt)
             merged, missing, unexpected = ckpt.merge_params(

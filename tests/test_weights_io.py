@@ -214,3 +214,127 @@ def test_vae_import_total_coverage():
     merged, missing, unexpected = weights_io.import_vae(params, sd)
     assert unexpected == [], unexpected[:5]
     assert missing == [], missing[:5]
+
+
+# ---------------------------------------------------------------------------
+# OpenCLIP towers
+
+
+def _clip_tower_sd(params, rng):
+    """Inverse of weights_io._map_clip_tower: flax tree -> torch-style
+    state dict with random values (packed QKV, OIHW conv, W.T linears)."""
+    flat = flatten_dict(params)
+    sd = {}
+    done_attn = set()
+    for path in flat:
+        p0 = path[0]
+        if p0.startswith("resblocks_"):
+            i = p0.split("_")[1]
+            pre = f"transformer.resblocks.{i}"
+            if path[1] == "attn":
+                if pre in done_attn:
+                    continue
+                done_attn.add(pre)
+                w = np.asarray(flat[path[:2] + ("out", "bias")]).shape[0]
+                sd[f"{pre}.attn.in_proj_weight"] = rng.normal(
+                    size=(3 * w, w)).astype(np.float32)
+                sd[f"{pre}.attn.in_proj_bias"] = rng.normal(
+                    size=(3 * w,)).astype(np.float32)
+                sd[f"{pre}.attn.out_proj.weight"] = rng.normal(
+                    size=(w, w)).astype(np.float32)
+                sd[f"{pre}.attn.out_proj.bias"] = rng.normal(
+                    size=(w,)).astype(np.float32)
+                continue
+            shape = np.asarray(flat[path]).shape
+            if path[1] in ("ln_1", "ln_2"):
+                leaf = "weight" if path[2] == "scale" else "bias"
+                sd[f"{pre}.{path[1]}.{leaf}"] = rng.normal(
+                    size=shape).astype(np.float32)
+            else:  # mlp_c_fc / mlp_c_proj
+                sub = path[1].replace("mlp_", "mlp.").replace(
+                    "c_", "c_")
+                leaf = "weight" if path[2] == "kernel" else "bias"
+                if leaf == "weight":
+                    shape = shape[::-1]
+                sd[f"{pre}.{sub}.{leaf}"] = rng.normal(
+                    size=shape).astype(np.float32)
+            continue
+        shape = np.asarray(flat[path]).shape
+        if path == ("conv1", "kernel"):
+            h, ww, ic, oc = shape
+            sd["conv1.weight"] = rng.normal(
+                size=(oc, ic, h, ww)).astype(np.float32)
+        elif path == ("token_embedding", "embedding"):
+            sd["token_embedding.weight"] = rng.normal(
+                size=shape).astype(np.float32)
+        elif p0 in ("ln_pre", "ln_post", "ln_final"):
+            leaf = "weight" if path[1] == "scale" else "bias"
+            sd[f"{p0}.{leaf}"] = rng.normal(size=shape).astype(np.float32)
+        else:  # class_embedding / positional_embedding / proj / text_proj
+            sd[p0] = rng.normal(size=shape).astype(np.float32)
+    return sd
+
+
+def test_clip_vision_import_total_coverage():
+    from multiview_inpaint_tpu.diffusion.clip_vit import (CLIPVisionTower,
+                                                          TINY_VIT)
+    tower = CLIPVisionTower(TINY_VIT)
+    params = tower.init(jax.random.key(0),
+                        jnp.zeros((1, 32, 32, 3)))["params"]
+    rng = np.random.default_rng(3)
+    pfx = "conditioner.embedders.0.open_clip.model.visual."
+    sd = {pfx + k: v for k, v in _clip_tower_sd(params, rng).items()}
+    merged, missing, unexpected = weights_io.import_clip_vision(
+        params, sd, heads=TINY_VIT.heads)
+    assert unexpected == [], unexpected[:5]
+    assert missing == [], missing[:5]
+    # imported params actually change the forward output
+    x = jax.random.normal(jax.random.key(1), (1, 32, 32, 3))
+    a = tower.apply({"params": params}, x)
+    b = tower.apply({"params": merged}, x)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_clip_text_import_total_coverage():
+    from multiview_inpaint_tpu.diffusion.clip_text import (CLIPTextTower,
+                                                           TextConfig)
+    cfg = TextConfig(vocab_size=64, context_length=8, width=16, layers=2,
+                     heads=2, output_dim=12)
+    tower = CLIPTextTower(cfg)
+    params = tower.init(jax.random.key(0),
+                        jnp.zeros((1, 8), jnp.int32))["params"]
+    rng = np.random.default_rng(4)
+    sd = _clip_tower_sd(params, rng)
+    sd["logit_scale"] = np.float32(4.6)          # skipped buffers
+    sd["visual.proj"] = rng.normal(size=(3, 3)).astype(np.float32)
+    merged, missing, unexpected = weights_io.import_clip_text(
+        params, sd, heads=cfg.heads)
+    assert unexpected == [], unexpected[:5]
+    assert missing == [], missing[:5]
+    toks = jnp.array([[1, 5, 63, 0, 0, 0, 0, 0]], jnp.int32)
+    hidden, pooled = tower.apply({"params": merged}, toks)
+    assert hidden.shape == (1, 8, 16) and pooled.shape == (1, 12)
+
+
+def test_clip_attn_mapping_matches_torch():
+    """The packed-QKV -> per-head-kernel mapping must reproduce torch's
+    nn.MultiheadAttention numerics exactly."""
+    import torch
+    import flax.linen as fnn
+    from flax.traverse_util import unflatten_dict
+
+    w, heads = 16, 2
+    tm = torch.nn.MultiheadAttention(w, heads, batch_first=True)
+    x = torch.randn(2, 5, w, generator=torch.Generator().manual_seed(0))
+    with torch.no_grad():
+        ref, _ = tm(x, x, x, need_weights=False)
+    sd = {f"transformer.resblocks.0.attn.{k}": v.detach().numpy()
+          for k, v in tm.state_dict().items()}
+    mapped = weights_io._map_clip_tower(sd, heads)
+    params = unflatten_dict({k[2:]: jnp.asarray(v)
+                             for k, v in mapped.items()})
+    mod = fnn.MultiHeadDotProductAttention(num_heads=heads,
+                                           qkv_features=w)
+    xj = jnp.asarray(x.numpy())
+    out = mod.apply({"params": params}, xj, xj)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-5)

@@ -47,11 +47,28 @@ def main():
     rcam = RenderCamera.from_camera(cam)
     bg = jnp.zeros(3, jnp.float32)
 
-    kwargs = dict(sh_degree=0, pair_budget=16 * n, backend="pallas")
+    # 18*n covers this scene's true pair count (~16.2*n; verified below —
+    # 16*n silently dropped ~1.3% of pairs).
+    kwargs = dict(sh_degree=0, pair_budget=18 * n, backend="pallas")
 
     # Warmup / compile.
     out = render(params, rcam, bg, **kwargs)
     jax.block_until_ready(out.rgb)
+
+    # No-overflow check: the timed config must not clip pairs.
+    from multiview_inpaint_tpu.ops.rasterizer import binning, geometry
+    proj = geometry.project_gaussians(
+        params.xyz, params.features(), params.act_opacity()[:, 0],
+        params.act_scaling(), params.act_rotation(), params.live,
+        rcam.world_view, rcam.full_proj, rcam.campos, rcam.tan_fovx,
+        rcam.tan_fovy, rcam.width, rcam.height, 0, 1.0, None)
+    total = int(binning.bin_gaussians(
+        proj.means2d, proj.radius, proj.depth, -(-1920 // 16),
+        -(-1080 // 16), 16, 16, kwargs["pair_budget"], 1024,
+        gather_ids=False, aligned_chunk=128).total_pairs)
+    if total > kwargs["pair_budget"]:
+        print(f"pair budget overflow: {total}", file=sys.stderr)
+        return 1
 
     iters = 20
     t0 = time.perf_counter()

@@ -1,16 +1,30 @@
 """Tile binning: gaussian->tile pair expansion + lexicographic sort.
 
 Replaces the CUDA rasterizer's atomics/prefix-sum duplication + radix sort
-with static-shape XLA primitives:
+(reference ``submodules/diff-gaussian-rasterization`` forward: duplicate
+WithKeys + cub radix sort + identifyTileRanges) with static-shape XLA
+primitives designed around what is fast on TPU:
 
-1. per-gaussian tile rectangles (same getRect math as the reference kernel),
-2. exact pair expansion into a fixed budget P via exclusive-cumsum +
-   searchsorted (each pair slot finds its gaussian by binary search — no
-   scatter, no atomics),
-3. ``lax.sort`` with num_keys=2 over (tile_id, depth) — XLA's on-chip sort
-   replaces the CUDA radix sort over packed 64-bit keys,
-4. per-tile segment [start, count) via searchsorted, then a dense [T, K]
-   gather of gaussian ids (K = max splats composited per tile).
+1. per-gaussian tile rectangles (same getRect math as the CUDA kernel),
+2. exact pair expansion into a fixed budget P: every per-slot lookup of a
+   piecewise-constant per-gaussian value telescopes through ONE small
+   scatter of per-gaussian deltas at the segment starts + a cumsum over
+   the slot axis (TPU gathers/scatters over millions of random indices
+   are pathologically slow; cumsums and small scatters are not). The
+   (x0, y0, rect_w) channels ride bit-packed in one int32 lane.
+3. ONE packed int32 key sort ``(tile << bits) | depth_rank`` (gaussians
+   are pre-sorted by depth once, N elements, so within-tile pair order ==
+   rank order),
+4. per-tile segments:
+   - XLA path: searchsorted -> dense [T, K] id gather;
+   - Pallas path (``aligned_chunk`` > 0): segments are chunk-aligned **by
+     construction** — per-tile counts are known *before* the sort from an
+     MXU coverage histogram (each rect is an outer product of an
+     x-interval and a y-interval indicator, so the whole histogram is two
+     matmuls), and ``aligned_len - count`` sentinel padding pairs per
+     tile are injected into the same sort with keys that order after the
+     tile's real pairs. The sorted array then *is* the aligned layout —
+     no searchsorted, no relayout pass.
 
 Everything is static-shaped; overflow beyond the pair budget or K is
 reported so callers can grow buffers (doubling schedule) instead of
@@ -22,6 +36,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+
+_INT_MAX = jnp.int32(2 ** 31 - 1)
 
 
 class TileBins(NamedTuple):
@@ -35,16 +51,20 @@ class TileBins(NamedTuple):
     order: jnp.ndarray | None  # [N] depth argsort, or None (fallback)
 
 
+def _delta(v):
+    return jnp.diff(jnp.concatenate([jnp.zeros((1,), v.dtype), v]))
+
+
 def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   depth: jnp.ndarray, tiles_x: int, tiles_y: int,
                   tile_w: int, tile_h: int, pair_budget: int,
                   max_per_tile: int, gather_ids: bool = True,
                   aligned_chunk: int = 0) -> TileBins:
-    """``aligned_chunk`` > 0 re-scatters the sorted pairs so every tile's
+    """``aligned_chunk`` > 0 lays the sorted pairs out so every tile's
     segment starts at a chunk-aligned offset (Mosaic-provable DMA slices
     for the Pallas kernel); ``gid_sorted`` then has length
-    pair_budget + num_tiles*aligned_chunk with sentinel id = N (callers
-    pad the attribute table with one zero row)."""
+    pair_budget + num_tiles*(aligned_chunk-1) with sentinel id = N
+    (callers pad the attribute table with one zero row)."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
 
@@ -52,7 +72,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     # order within a tile == gaussian index order, and the pair sort
     # collapses to ONE packed int32 key (tile << bits | depth_rank)
     # instead of a 3-operand lexicographic sort over the much larger P.
-    gid_bits = max(1, (n - 1).bit_length())
+    gid_bits = max(1, n.bit_length())  # 2**bits > n: room for sentinel n
     packed_ok = (num_tiles + 1) < (1 << (31 - gid_bits))
     if packed_ok:
         order = jnp.argsort(jnp.where(radius > 0, depth, jnp.inf))
@@ -80,39 +100,59 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     total = ends[-1] if n > 0 else jnp.int32(0)
 
     # Pair slot j belongs to gaussian i = last index with starts[i] <= j.
-    # TPU gathers over millions of slots are pathologically slow, so ALL
-    # per-slot lookups of piecewise-constant per-gaussian values (gid,
-    # starts, x0, y0, rect_w) telescope through ONE small scatter of
-    # per-gaussian deltas at the segment starts + cumsums over the slot
-    # axis (duplicate starts from count-0 gaussians accumulate their
-    # deltas, which telescopes to the correct next value).
+    # ONE small scatter of per-gaussian deltas at the segment starts +
+    # cumsums over the slot axis reconstructs every per-slot value
+    # (duplicate starts from count-0 gaussians accumulate their deltas,
+    # which telescopes to the correct next value).
     slots = jnp.arange(pair_budget, dtype=jnp.int32)
-
-    def d(v):
-        return jnp.diff(jnp.concatenate([jnp.zeros((1,), v.dtype), v]))
-
-    deltas = jnp.stack([jnp.ones((n,), jnp.int32), d(starts), d(x0),
-                        d(y0), d(rect_w)], axis=1)  # [N, 5]
+    bitpack = tiles_x < 1024 and tiles_y < 1024
+    if bitpack:
+        # (x0, y0, rect_w) share one int32 lane: 10 bits each. Deltas may
+        # be negative, but the prefix sum telescopes exactly in int32
+        # arithmetic and every reconstructed value is in-range.
+        xyw = (x0 << 20) | (y0 << 10) | rect_w
+        deltas = jnp.stack([jnp.ones((n,), jnp.int32), _delta(starts),
+                            _delta(xyw)], axis=1)  # [N, 3]
+    else:
+        deltas = jnp.stack([jnp.ones((n,), jnp.int32), _delta(starts),
+                            _delta(x0), _delta(y0), _delta(rect_w)],
+                           axis=1)  # [N, 5]
     carried = jnp.cumsum(
-        jnp.zeros((pair_budget, 5), jnp.int32).at[starts].add(
-            deltas, mode="drop"), axis=0)
+        jnp.zeros((pair_budget, deltas.shape[1]), jnp.int32
+                  ).at[starts].add(deltas, mode="drop"), axis=0)
     gid_c = jnp.clip(carried[:, 0] - 1, 0, n - 1)
     local = slots - carried[:, 1]
-    w = jnp.maximum(carried[:, 4], 1)
-    tx = carried[:, 2] + local % w
-    ty = carried[:, 3] + local // w
+    if bitpack:
+        pk = carried[:, 2]
+        sx0 = pk >> 20
+        sy0 = (pk >> 10) & 1023
+        w = jnp.maximum(pk & 1023, 1)
+    else:
+        sx0 = carried[:, 2]
+        sy0 = carried[:, 3]
+        w = jnp.maximum(carried[:, 4], 1)
+    tx = sx0 + local % w
+    ty = sy0 + local // w
     tile = ty * tiles_x + tx
     invalid = slots >= total
     tile = jnp.where(invalid, num_tiles, tile).astype(jnp.int32)
 
     if packed_ok:
-        key = jnp.where(invalid, jnp.int32(2 ** 31 - 1),
-                        (tile << gid_bits) | gid_c)
+        key = jnp.where(invalid, _INT_MAX, (tile << gid_bits) | gid_c)
+    else:
+        key = None
+
+    if aligned_chunk and packed_ok:
+        return _aligned_bins(key, radius, x0, y0, rect_w, starts, ends,
+                             total, n, gid_bits, tiles_x, tiles_y,
+                             num_tiles, pair_budget, aligned_chunk, order)
+
+    if packed_ok:
         key_s = jnp.sort(key)
-        tile_s = jnp.where(key_s == 2 ** 31 - 1, num_tiles,
+        tile_s = jnp.where(key_s == _INT_MAX, num_tiles,
                            key_s >> gid_bits).astype(jnp.int32)
         # gid stays in depth-RANK space: callers index params[order].
-        gid_s = jnp.where(key_s == 2 ** 31 - 1, n,
+        gid_s = jnp.where(key_s == _INT_MAX, n,
                           key_s & ((1 << gid_bits) - 1)).astype(jnp.int32)
     else:
         # Lexicographic (tile, depth) sort over all operands.
@@ -138,13 +178,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         valid = jnp.zeros((0, 0), bool)
 
     if aligned_chunk:
-        # Chunk-aligned relayout WITHOUT a large scatter: the aligned
-        # destination is monotone in j, so the inverse map "aligned slot
-        # k -> source pair j" is k - offset(k) where offset changes only
-        # at tile boundaries. A tiny scatter of per-tile deltas at the
-        # aligned starts + one cumsum recovers offset(k); the payload
-        # moves via a single gather (TPU scatters over millions of random
-        # indices are pathologically slow; this is all vector work).
+        # Generic (non-packed-key) fallback: chunk-aligned relayout via
+        # the monotone inverse map "aligned slot k -> source pair j".
         c = aligned_chunk
         p_aligned = pair_budget + num_tiles * c
         seg_len_aligned = ((counts + c - 1) // c) * c
@@ -153,20 +188,15 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
              jnp.cumsum(seg_len_aligned)[:-1].astype(jnp.int32)])
         seg_start32 = seg_start.astype(jnp.int32)
         off = start_aligned - seg_start32                 # [T]
-        delta = jnp.diff(jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                          off]))
         offset_k = jnp.cumsum(
             jnp.zeros((p_aligned,), jnp.int32).at[start_aligned].add(
-                delta, mode="drop"))
+                _delta(off), mode="drop"))
         k = jnp.arange(p_aligned, dtype=jnp.int32)
         src = k - offset_k
-        # valid aligned slots: within the tile's true segment
         seg_end32 = seg_start32 + counts
         end_k = jnp.cumsum(
             jnp.zeros((p_aligned,), jnp.int32).at[start_aligned].add(
-                jnp.diff(jnp.concatenate(
-                    [jnp.zeros((1,), jnp.int32), seg_end32])),
-                mode="drop"))
+                _delta(seg_end32), mode="drop"))
         in_seg = src < end_k
         gid_aligned = jnp.where(
             in_seg, gid_s[jnp.clip(src, 0, pair_budget - 1)], n)
@@ -177,6 +207,70 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     return TileBins(ids=ids, valid=valid, counts=counts,
                     total_pairs=total, gid_sorted=gid_s,
                     seg_start=seg_start.astype(jnp.int32), order=order)
+
+
+def _aligned_bins(key, radius, x0, y0, rect_w, starts, ends, total, n,
+                  gid_bits, tiles_x, tiles_y, num_tiles, pair_budget,
+                  chunk, order):
+    """Chunk-aligned segments by construction (see module docstring).
+
+    Per-tile counts come from an exact coverage histogram computed on the
+    MXU: a gaussian emits pairs for its rect rows in row-major order, so
+    the emitted (budget-clamped) coverage of gaussian i is
+    ``outer(rows y0..y0+q-1, cols x0..x0+w-1) + outer(row y0+q,
+    cols x0..x0+rem-1)`` with ``q, rem = divmod(emitted_i, w)`` — two
+    rank-1 terms, so the histogram over all gaussians is two matmuls
+    (exact in f32: counts < 2^24)."""
+    emit = (jnp.minimum(ends, pair_budget)
+            - jnp.minimum(starts, pair_budget))          # [N] clamped
+    emit = jnp.where(radius > 0, emit, 0)
+    w = jnp.maximum(rect_w, 1)
+    q = emit // w
+    rem = emit - q * w
+
+    ty = jnp.arange(tiles_y, dtype=jnp.int32)[None, :]   # [1, TY]
+    tx = jnp.arange(tiles_x, dtype=jnp.int32)[None, :]   # [1, TX]
+    y0c = y0[:, None]
+    x0c = x0[:, None]
+    uf = ((ty >= y0c) & (ty < y0c + q[:, None])).astype(jnp.float32)
+    vf = ((tx >= x0c) & (tx < x0c + w[:, None])).astype(jnp.float32)
+    up = ((ty == y0c + q[:, None]) & (rem[:, None] > 0)).astype(
+        jnp.float32)
+    vp = ((tx >= x0c) & (tx < x0c + rem[:, None])).astype(jnp.float32)
+    hist = uf.T @ vf + up.T @ vp                          # [TY, TX]
+    counts = jnp.round(hist).astype(jnp.int32).reshape(num_tiles)
+
+    c = chunk
+    aligned_len = ((counts + c - 1) // c) * c
+    cum_aligned = jnp.cumsum(aligned_len)
+    start_aligned = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), cum_aligned[:-1].astype(jnp.int32)])
+
+    # Padding pairs: tile t contributes aligned_len[t] - counts[t]
+    # sentinel keys (tile << bits) | mask; mask = 2**bits - 1 > any real
+    # rank, so they sort to the tile's segment end.
+    pad_budget = num_tiles * (c - 1)
+    pad_counts = aligned_len - counts
+    pad_ends = jnp.cumsum(pad_counts)
+    pad_starts = (pad_ends - pad_counts).astype(jnp.int32)
+    pad_total = pad_ends[-1]
+    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    pad_tile = jnp.cumsum(
+        jnp.zeros((pad_budget,), jnp.int32).at[pad_starts].add(
+            _delta(tile_idx), mode="drop"))
+    pad_slots = jnp.arange(pad_budget, dtype=jnp.int32)
+    mask = jnp.int32((1 << gid_bits) - 1)
+    pad_key = jnp.where(pad_slots < pad_total,
+                        (pad_tile << gid_bits) | mask, _INT_MAX)
+
+    key_s = jnp.sort(jnp.concatenate([key, pad_key]))
+    gid_s = jnp.minimum(key_s & mask, n).astype(jnp.int32)
+    gid_s = jnp.where(key_s == _INT_MAX, n, gid_s)
+
+    return TileBins(ids=jnp.zeros((0, 0), jnp.int32),
+                    valid=jnp.zeros((0, 0), bool), counts=counts,
+                    total_pairs=total, gid_sorted=gid_s,
+                    seg_start=start_aligned, order=order)
 
 
 def _lex_sort(tile, depth, gid):

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .composite import ALPHA_MIN, DEPTH_EMPTY, T_STOP
-from .pallas_composite import CHUNK, PIX, TILE_H, TILE_W
+from .pallas_composite import CHUNK, PIX, TILE_H, TILE_W, _lane_cumsum
 
 
 def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
@@ -78,10 +78,6 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
     def _():
         get_dma(0, 0).start()
 
-    rows_t = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    cols_t = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    tri = (rows_t <= cols_t).astype(jnp.float32)
-
     def cond(state):
         i, t_carry, _ = state
         return jnp.logical_and(i < n_chunks, jnp.max(t_carry) >= T_STOP)
@@ -108,12 +104,10 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         live = (alpha >= ALPHA_MIN) & valid & (power <= 0.0)
         alpha = jnp.where(live, alpha, 0.0)
         logs = jnp.log1p(-alpha)
-        cum = jax.lax.dot_general(
-            logs, tri, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        # Shift-scan cumsum + divide, matching the forward kernel.
+        cum = _lane_cumsum(logs)
         t_out = t_carry * jnp.exp(cum)
-        t_in = t_carry * jnp.exp(cum - logs)
+        t_in = t_out / (1.0 - alpha)
         contrib = t_out >= T_STOP
         w = jnp.where(contrib, alpha * t_in, 0.0)
 
@@ -125,11 +119,7 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)                # [PIX,CHUNK]
         wA = w * A
-        pref_in_chunk = jax.lax.dot_general(
-            wA, tri, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        prefix_i = prefix + pref_in_chunk                      # inclusive
+        prefix_i = prefix + _lane_cumsum(wA)                   # inclusive
         suffix = total_contrib - prefix_i                      # [PIX,CHUNK]
 
         one_m = jnp.where(alpha < 1.0, 1.0 - alpha, 1.0)

@@ -40,96 +40,119 @@ PIX = TILE_H * TILE_W  # 256
 CHUNK = 128
 
 
-def _kernel(starts_ref, counts_ref, attrs_ref, bg_ref, out_ref,
-            scratch, sems):
+def _lane_cumsum(x):
+    """Inclusive cumsum along the lane (last) axis of a [.., CHUNK]
+    block, as a triangular-ones MXU matmul (no cumsum primitive in
+    Mosaic). The operand rides as a manual hi/lo bf16 split — two
+    single-pass bf16 matmuls with f32 accumulation reach ~2^-16
+    relative accuracy at 1/3 the cost of Precision.HIGHEST (Mosaic
+    supports neither HIGH nor f32-input dots without full passes); a
+    Hillis-Steele rotate-scan on the VPU measured *slower* than the
+    MXU matmul on v5e (22.6 vs 18.3 ms for the 1080p composite). The
+    ones matrix is exact in bf16, so only x is split."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    tri = (rows <= cols).astype(jnp.bfloat16)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(v):
+        return jax.lax.dot_general(
+            v, tri, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return dot(hi) + dot(lo)
+
+
+def _kernel(group, tiles_x, starts_ref, counts_ref, attrs_ref, bg_ref,
+            out_ref, scratch, sems):
     t = pl.program_id(0)
-    tiles_x = pl.num_programs(1)
-    tx = pl.program_id(1)
-    # Tile pixel coordinates [PIX, 1].
-    lin = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-    px = (tx * TILE_W + jnp.mod(lin, TILE_W)).astype(jnp.float32)
-    py = (t * TILE_H + lin // TILE_W).astype(jnp.float32)
+    txg = pl.program_id(1)
 
-    row = t * tiles_x + tx
-    start = pl.multiple_of(starts_ref[row], CHUNK)
-    count = counts_ref[row]
-    n_chunks = pl.cdiv(count, CHUNK)
+    def one_tile(g, _):
+        tx = txg * group + g
+        # Tile pixel coordinates [PIX, 1].
+        lin = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+        px = (tx * TILE_W + jnp.mod(lin, TILE_W)).astype(jnp.float32)
+        py = (t * TILE_H + lin // TILE_W).astype(jnp.float32)
 
-    def get_dma(slot, chunk_idx):
-        return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(start + chunk_idx * CHUNK, CHUNK)],
-            scratch.at[slot],
-            sems.at[slot],
-        )
+        row = t * tiles_x + tx
+        start = pl.multiple_of(starts_ref[row], CHUNK)
+        count = counts_ref[row]
+        n_chunks = pl.cdiv(count, CHUNK)
 
-    @pl.when(n_chunks > 0)
-    def _():
-        get_dma(0, 0).start()
+        def get_dma(slot, chunk_idx):
+            return pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(start + chunk_idx * CHUNK, CHUNK)],
+                scratch.at[slot],
+                sems.at[slot],
+            )
 
-    def cond(state):
-        i, t_carry, _, _ = state
-        return jnp.logical_and(i < n_chunks, jnp.max(t_carry) >= T_STOP)
-
-    def body(state):
-        i, t_carry, rgb_acc, d_acc = state
-
-        @pl.when(i + 1 < n_chunks)
+        @pl.when(n_chunks > 0)
         def _():
-            get_dma((i + 1) % 2, i + 1).start()
+            get_dma(0, 0).start()
 
-        get_dma(i % 2, i).wait()
-        a = scratch[i % 2]  # [16, CHUNK]
+        def cond(state):
+            i, t_carry, _, _ = state
+            return jnp.logical_and(i < n_chunks,
+                                   jnp.max(t_carry) >= T_STOP)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        valid = (i * CHUNK + lane) < count  # [1, CHUNK]
+        def body(state):
+            i, t_carry, rgb_acc, d_acc = state
 
-        dx = px - a[0:1, :]          # [PIX, CHUNK]
-        dy = py - a[1:2, :]
-        power = (-0.5 * (a[2:3, :] * dx * dx + a[4:5, :] * dy * dy)
-                 - a[3:4, :] * dx * dy)
-        alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
-        alpha = jnp.where((alpha >= ALPHA_MIN) & valid & (power <= 0.0),
-                          alpha, 0.0)
-        logs = jnp.log1p(-alpha)
-        # Inclusive cumsum along lanes as an MXU matmul with an
-        # upper-triangular ones matrix (no cumsum primitive on TPU Pallas).
-        rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-        tri = (rows <= cols).astype(jnp.float32)
-        # HIGHEST precision: the MXU's bf16 default loses ~1e-2 in the
-        # accumulated transmittances.
-        cum = jax.lax.dot_general(
-            logs, tri, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        t_out = t_carry * jnp.exp(cum)
-        t_in = t_carry * jnp.exp(cum - logs)
-        contrib = t_out >= T_STOP
-        w = jnp.where(contrib, alpha * t_in, 0.0)  # [PIX, CHUNK]
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                get_dma((i + 1) % 2, i + 1).start()
 
-        # [PIX, CHUNK] @ [CHUNK, 4] -> MXU
-        cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0).T
-        acc = jax.lax.dot_general(
-            w, cd, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        rgb_acc = rgb_acc + acc[:, :3]
-        d_acc = d_acc + acc[:, 3:4]
-        t_next = t_carry * jnp.exp(
-            jnp.sum(jnp.where(contrib, logs, 0.0), axis=1, keepdims=True))
-        return i + 1, t_next, rgb_acc, d_acc
+            get_dma(i % 2, i).wait()
+            a = scratch[i % 2]  # [16, CHUNK]
 
-    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
-            jnp.zeros((PIX, 3), jnp.float32),
-            jnp.zeros((PIX, 1), jnp.float32))
-    _, t_fin, rgb_acc, d_acc = jax.lax.while_loop(cond, body, init)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            valid = (i * CHUNK + lane) < count  # [1, CHUNK]
 
-    bg = bg_ref[0:3, 0]  # [3]
-    rgb = rgb_acc + t_fin * bg[None, :]
-    dep = d_acc + t_fin * DEPTH_EMPTY
-    out = jnp.concatenate(
-        [rgb, dep, t_fin, jnp.zeros((PIX, 3), jnp.float32)], axis=1)
-    out_ref[0, 0] = out.T  # [8, PIX]
+            dx = px - a[0:1, :]          # [PIX, CHUNK]
+            dy = py - a[1:2, :]
+            power = (-0.5 * (a[2:3, :] * dx * dx + a[4:5, :] * dy * dy)
+                     - a[3:4, :] * dx * dy)
+            alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
+            alpha = jnp.where(
+                (alpha >= ALPHA_MIN) & valid & (power <= 0.0), alpha, 0.0)
+            logs = jnp.log1p(-alpha)
+            cum = _lane_cumsum(logs)
+            t_out = t_carry * jnp.exp(cum)
+            # T entering splat k = T leaving it / (1 - alpha_k); alpha
+            # is capped at 0.99 so the divide is safe (saves an exp).
+            t_in = t_out / (1.0 - alpha)
+            contrib = t_out >= T_STOP
+            w = jnp.where(contrib, alpha * t_in, 0.0)  # [PIX, CHUNK]
+
+            # [PIX, CHUNK] @ [CHUNK, 4] -> MXU
+            cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0).T
+            acc = jax.lax.dot_general(
+                w, cd, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            rgb_acc = rgb_acc + acc[:, :3]
+            d_acc = d_acc + acc[:, 3:4]
+            t_next = t_carry * jnp.exp(
+                jnp.sum(jnp.where(contrib, logs, 0.0), axis=1,
+                        keepdims=True))
+            return i + 1, t_next, rgb_acc, d_acc
+
+        init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+                jnp.zeros((PIX, 3), jnp.float32),
+                jnp.zeros((PIX, 1), jnp.float32))
+        _, t_fin, rgb_acc, d_acc = jax.lax.while_loop(cond, body, init)
+
+        bg = bg_ref[0:3, 0]  # [3]
+        rgb = rgb_acc + t_fin * bg[None, :]
+        dep = d_acc + t_fin * DEPTH_EMPTY
+        out = jnp.concatenate(
+            [rgb, dep, t_fin, jnp.zeros((PIX, 3), jnp.float32)], axis=1)
+        out_ref[0, g] = out.T  # [8, PIX]
+        return 0
+
+    jax.lax.fori_loop(0, group, one_tile, 0)
 
 
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "interpret"))
@@ -138,16 +161,20 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                      tiles_x: int, tiles_y: int, interpret: bool = False):
     """attrs_t [16, P] pair-sorted packed attrs; returns [T, 8, PIX]."""
     num_tiles = tiles_x * tiles_y
+    # Batch GROUP tiles per grid step: per-step launch overhead (~2 us)
+    # dominates at 1 tile/step (8k steps at 1080p); the fori_loop
+    # amortizes it 8x. GROUP must divide tiles_x.
+    group = next(g for g in (8, 6, 5, 4, 3, 2, 1) if tiles_x % g == 0)
     bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(tiles_y, tiles_x),
+        grid=(tiles_y, tiles_x // group),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # attrs stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
         ],
-        out_specs=pl.BlockSpec((1, 1, 8, PIX),
-                               lambda t, tx, *_: (t, tx, 0, 0),
+        out_specs=pl.BlockSpec((1, group, 8, PIX),
+                               lambda t, txg, *_: (t, txg, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 16, CHUNK), jnp.float32),
@@ -155,7 +182,7 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
         ],
     )
     out = pl.pallas_call(
-        _kernel,
+        partial(_kernel, group, tiles_x),
         out_shape=jax.ShapeDtypeStruct((tiles_y, tiles_x, 8, PIX),
                                        jnp.float32),
         grid_spec=grid_spec,

@@ -107,6 +107,9 @@ class StepMetrics(NamedTuple):
     loss: jnp.ndarray
     l1: jnp.ndarray
     num_live: jnp.ndarray
+    # True pair count of the rendered view; callers grow
+    # pair_budget_mult (re-jit) when this nears mult * capacity.
+    pairs: jnp.ndarray = 0
 
 
 @partial(jax.jit, static_argnames=("cfg", "spatial_lr_scale", "sh_degree",
@@ -148,10 +151,11 @@ def train_step(state: TrainState, camera: RenderCamera,
         l1 = loss_utils.l1_loss(pred_c, gt_c)
         loss = ((1.0 - cfg.lambda_dssim) * l1
                 + cfg.lambda_dssim * (1.0 - loss_utils.ssim(pred_c, gt_c)))
-        return loss, (l1, out.radii, out.visibility)
+        return loss, (l1, out.radii, out.visibility, out.pairs)
 
     offset = jnp.zeros((n, 2), jnp.float32)
-    (loss, (l1, radii, vis)), (g_fields, g_offset) = jax.value_and_grad(
+    ((loss, (l1, radii, vis, pairs)),
+     (g_fields, g_offset)) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True)(float_fields, offset)
 
     # Grouped Adam (eps 1e-15, torch-style bias correction).
@@ -180,7 +184,7 @@ def train_step(state: TrainState, camera: RenderCamera,
     new_state = TrainState(params=new_params, mu=new_mu, nu=new_nu,
                            stats=new_stats, step=step)
     return new_state, StepMetrics(loss=loss, l1=l1,
-                                  num_live=jnp.sum(p.live))
+                                  num_live=jnp.sum(p.live), pairs=pairs)
 
 
 def zero_moments(state: TrainState, row_mask: jnp.ndarray,

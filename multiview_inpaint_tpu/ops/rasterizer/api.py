@@ -94,6 +94,10 @@ class RenderOutput(NamedTuple):
     alpha: jnp.ndarray    # [H, W]
     radii: jnp.ndarray    # [N] int32
     visibility: jnp.ndarray  # [N] bool (radii > 0)
+    # true gaussian-tile pair count; > pair_budget means pairs were
+    # clipped this frame and the caller should grow the budget (the CUDA
+    # reference allocates num_rendered exactly; we grow like capacity).
+    pairs: jnp.ndarray = 0
 
 
 def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile_w: int,
@@ -200,7 +204,8 @@ def render(params: GaussianParams, camera: RenderCamera,
     alpha = _assemble(out.alpha, tiles_x, tiles_y, tile_w, tile_h,
                       camera.width, camera.height)
     return RenderOutput(rgb=rgb, depth=depth, alpha=alpha,
-                        radii=proj.radius, visibility=proj.radius > 0)
+                        radii=proj.radius, visibility=proj.radius > 0,
+                        pairs=bins.total_pairs)
 
 
 def render_oracle(params: GaussianParams, camera: RenderCamera,

@@ -70,6 +70,7 @@ def train(args) -> None:
     sh_degree = 0  # raised every 1000 iters up to max (oneupSHdegree)
     stack = []
     t_start = time.time()
+    pair_mult = args.pair_budget_mult
     for iteration in range(first_iter + 1, cfg.iterations + 1):
         if not stack:
             stack = list(scene.train_cameras())
@@ -87,7 +88,7 @@ def train(args) -> None:
         state, metrics = gs_trainer.train_step(
             state, rcam, gt, bg, cfg, spatial_lr_scale=spatial,
             sh_degree=sh_degree, max_per_tile=args.max_per_tile,
-            pair_budget_mult=args.pair_budget_mult,
+            pair_budget_mult=pair_mult,
             backend=args.backend)
         key, sub = jax.random.split(key)
         state, info = gs_trainer.maybe_densify(state, sub, cfg, spatial,
@@ -122,9 +123,18 @@ def train(args) -> None:
                          * state.params.capacity)
             live.publish(np.asarray(out.rgb))
         if iteration % args.log_interval == 0:
+            # Adaptive pair budget: like the CUDA reference's exact
+            # num_rendered allocation, but with a static-shape doubling
+            # schedule (re-jits the step, so only checked at host syncs).
+            pairs = int(metrics.pairs)
+            if pairs > 0.85 * pair_mult * state.params.capacity:
+                pair_mult *= 2
+                args.pair_budget_mult = pair_mult  # eval/live renders too
+                logger.echo(f"[ITER {iteration}] pair budget -> "
+                            f"{pair_mult}x capacity ({pairs} pairs seen)")
             logger.log(iteration, loss=metrics.loss, l1=metrics.l1,
                        points=int(metrics.num_live),
-                       capacity=state.params.capacity,
+                       capacity=state.params.capacity, pairs=pairs,
                        it_per_s=args.log_interval / max(
                            time.time() - t_start, 1e-9), **(info or {}))
             t_start = time.time()
@@ -177,7 +187,7 @@ def main(argv=None):
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--capacity", type=int, default=None)
     parser.add_argument("--max_per_tile", type=int, default=1024)
-    parser.add_argument("--pair_budget_mult", type=int, default=8)
+    parser.add_argument("--pair_budget_mult", type=int, default=4)
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "xla", "pallas"],
                         help="rasterizer backend (pallas = fused TPU "

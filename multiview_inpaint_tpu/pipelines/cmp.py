@@ -28,7 +28,17 @@ def main(argv=None):
     p.add_argument("--iteration", type=int, default=30000)
     p.add_argument("--n_frame", type=int, default=10)
     p.add_argument("--out", default="metrics.json")
+    p.add_argument("--musiq_ckpt", default=None,
+                   help="npz MUSIQ weights (convert torch ckpts with "
+                        "metrics.musiq.import_musiq); adds the "
+                        "reference's no-reference quality score")
     args = p.parse_args(argv)
+
+    musiq_score = None
+    if args.musiq_ckpt:
+        from ..diffusion.checkpoint import load_params
+        from ..metrics.musiq import MUSIQScorer
+        musiq_score = MUSIQScorer(load_params(args.musiq_ckpt))
 
     inp_root = os.path.join(args.root, "inpainted")
     src_root = os.path.join(args.root, "src")
@@ -44,6 +54,9 @@ def main(argv=None):
                   for f in files[::step][:args.n_frame]]
         entry = {"sharpness": float(np.mean(
             [M.laplacian_sharpness(f) for f in frames]))}
+        if musiq_score is not None:
+            entry["musiq"] = float(np.mean(
+                [musiq_score(f) for f in frames]))
         sdir = os.path.join(src_root, scene.split("_")[0],
                             f"ours_{args.iteration}", "renders")
         if os.path.isdir(sdir):

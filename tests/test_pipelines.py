@@ -143,3 +143,23 @@ def test_render_depth_cli(workspace):
     d = os.path.join(ws_root, "inpaint", "seq", "toy_case", "x1",
                      "ours_60", "disp")
     assert len(os.listdir(d)) == 2
+
+
+def test_adaptive_pair_budget_growth(workspace, tmp_path, capsys):
+    """Forcing a 1x-capacity budget must trigger the doubling schedule
+    (train_gs re-jits with a bigger pair_budget_mult and echoes it)."""
+    model = str(tmp_path / "toy_pb")
+    train_gs.main([
+        "-s", workspace["src"], "-m", model, "--resolution", "1",
+        "--iterations", "4", "--densify_from_iter", "100",
+        "--densify_until_iter", "0", "--opacity_reset_interval", "100000",
+        "--test_iterations", "-1", "--save_iterations", "-1",
+        "--max_per_tile", "256", "--log_interval", "1",
+        "--pair_budget_mult", "1",
+    ])
+    rows = [json.loads(l) for l in
+            open(os.path.join(model, "train_log.jsonl"))]
+    pairs = [r["pairs"] for r in rows if "pairs" in r]
+    assert pairs and all(p > 0 for p in pairs)
+    # the toy scene's ~650 pairs exceed 0.85 * 1 * 300 capacity -> growth
+    assert "pair budget ->" in capsys.readouterr().out

@@ -1,2 +1,3 @@
-from .api import RenderCamera, RenderOutput, render, render_oracle
+from .api import (RenderCamera, RenderOutput, render, render_oracle,
+                  render_views)
 from .composite import DEPTH_EMPTY

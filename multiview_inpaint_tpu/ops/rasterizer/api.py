@@ -208,6 +208,29 @@ def render(params: GaussianParams, camera: RenderCamera,
                         pairs=bins.total_pairs)
 
 
+def render_views(params: GaussianParams, cameras, bg_color: jnp.ndarray,
+                 **kwargs) -> RenderOutput:
+    """Render several same-size views of one scene (orbit sequences,
+    reference ``gen_seq.py``); returns RenderOutput with a leading view
+    dim. One compiled step per pose, dispatched back to back (async
+    dispatch keeps the device busy). A vmapped variant measured 2x
+    SLOWER on v5e (58 vs 29 ms/view at 512x384/200k) — the batched
+    [V, P] sort/gather lowerings lose more than the per-view dispatch
+    saves — so the loop stands (see PERF.md)."""
+    protos = [c if isinstance(c, RenderCamera)
+              else RenderCamera.from_camera(c) for c in cameras]
+    p0 = protos[0]
+
+    def one(w, f, c):
+        cam = dataclasses.replace(p0, world_view=w, full_proj=f, campos=c)
+        # render is itself jitted; identical static args reuse one
+        # executable across the loop.
+        return render(params, cam, bg_color, **kwargs)
+
+    outs = [one(c.world_view, c.full_proj, c.campos) for c in protos]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *outs)
+
+
 def render_oracle(params: GaussianParams, camera: RenderCamera,
                   bg_color: jnp.ndarray, sh_degree: int = 0,
                   scaling_modifier: float = 1.0) -> RenderOutput:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,7 +31,7 @@ from ..gs import obb as obb_mod
 from ..gs import scene_io
 from ..gs.cameras import get_rays
 from ..gs.scene import Scene, Workspace, orbit_cameras
-from ..ops.rasterizer import DEPTH_EMPTY, RenderCamera, render
+from ..ops.rasterizer import DEPTH_EMPTY, render_views
 from . import common
 
 
@@ -41,12 +42,15 @@ def render_sequence(views, params, box, out_dir, bg, sh_degree=0,
     os.makedirs(os.path.join(out_dir, "mask"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "masked"), exist_ok=True)
     poses = []
+    # One batched (vmapped) render for the whole orbit — all views share
+    # the 512x384 size, so the per-view stage overheads amortize.
+    outs = render_views(params, views, bg, sh_degree=sh_degree,
+                        max_per_tile=max_per_tile,
+                        pair_budget=pair_budget_mult * params.capacity)
     for idx, view in enumerate(views):
         v_id = view.image_name if use_image_name else f"{idx:02d}"
         poses.append(view.camera_to_world)
-        out = render(params, RenderCamera.from_camera(view), bg,
-                     sh_degree=sh_degree, max_per_tile=max_per_tile,
-                     pair_budget=pair_budget_mult * params.capacity)
+        out = jax.tree_util.tree_map(lambda x: x[idx], outs)
         rays_o, rays_d = get_rays(view)
         _, t, _ = obb_mod.intersect(box, jnp.asarray(rays_o),
                                     jnp.asarray(rays_d))

@@ -89,7 +89,7 @@ class Scene:
                  max_sh_degree: int = 0, images_dir: str = "images",
                  workspace: Optional[Workspace] = None,
                  load_images: bool = True, capacity: Optional[int] = None,
-                 seed: int = 0):
+                 load_gaussians: bool = True, seed: int = 0):
         self.source_path = source_path
         self.model_path = model_path
         self.workspace = workspace or Workspace()
@@ -136,8 +136,14 @@ class Scene:
 
         # Gaussian checkpoint cascade: add -> del -> iteration_N (:100-114).
         self.loaded_iteration = None
-        self.gaussians: GaussianParams
-        if load_iteration is not None:
+        self.gaussians: Optional[GaussianParams]
+        if not load_gaussians:
+            # Callers that only need cameras/extent (sds_train and
+            # inpaint_rec build their params via load_sd_ply) skip the
+            # point-cloud init entirely — a small fixed capacity here
+            # used to crash on any scene with more init points.
+            self.gaussians = None
+        elif load_iteration is not None:
             pc_dir = os.path.join(model_path, "point_cloud")
             if load_iteration == -1:
                 cascade = [os.path.join(pc_dir, "add", "point_cloud.ply"),

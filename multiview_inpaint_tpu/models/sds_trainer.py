@@ -26,17 +26,19 @@ class SDSMetrics(NamedTuple):
     loss: jnp.ndarray
     bg_loss: jnp.ndarray
     sds_loss: jnp.ndarray
+    pairs: jnp.ndarray = 0
 
 
 @partial(jax.jit, static_argnames=("cfg", "guidance", "spatial_lr_scale",
                                    "sh_degree", "sds_weight", "sds_size",
-                                   "max_per_tile", "pair_budget_mult"))
+                                   "max_per_tile", "pair_budget_mult",
+                                   "backend"))
 def sds_train_step(state: TrainState, camera, gt_image, mask, bg_color,
                    cfg: OptimizationConfig, guidance, text_embs,
                    key: jax.Array, spatial_lr_scale: float = 1.0,
                    sh_degree: int = 0, sds_weight: float = 1e-6,
                    sds_size: int = 512, max_per_tile: int = 1024,
-                   pair_budget_mult: int = 8):
+                   pair_budget_mult: int = 8, backend: str = "xla"):
     p = state.params
     n = p.capacity
     float_fields = {f: getattr(p, f) for f in _FIELDS}
@@ -46,7 +48,7 @@ def sds_train_step(state: TrainState, camera, gt_image, mask, bg_color,
         params = GaussianParams(live=p.live, **fields)
         out = render(params, camera, bg_color, sh_degree=sh_degree,
                      means2d_offset=offset, max_per_tile=max_per_tile,
-                     pair_budget=pair_budget_mult * n)
+                     pair_budget=pair_budget_mult * n, backend=backend)
         pred = out.rgb
         keep = (1.0 - mask)[..., None]
         pred_c = jnp.transpose(pred * keep, (2, 0, 1))
@@ -59,12 +61,13 @@ def sds_train_step(state: TrainState, camera, gt_image, mask, bg_color,
         mask512 = jax.image.resize(mask, (sds_size, sds_size), "nearest")
         sds = guidance.train_step(k_sds, img512, mask512, text_embs)
         total = bg + sds_weight * sds
-        return total, (bg, sds, out.radii, out.visibility)
+        return total, (bg, sds, out.radii, out.visibility,
+                       out.pairs)
 
     offset = jnp.zeros((n, 2), jnp.float32)
-    (loss, (bg_l, sds_l, radii, vis)), (g_fields, g_offset) = \
-        jax.value_and_grad(loss_fn, argnums=(0, 1),
-                           has_aux=True)(float_fields, offset)
+    ((loss, (bg_l, sds_l, radii, vis, pairs)),
+     (g_fields, g_offset)) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(float_fields, offset)
 
     step = state.step + 1
     lrs = _group_lrs(cfg, step, spatial_lr_scale)
@@ -86,4 +89,5 @@ def sds_train_step(state: TrainState, camera, gt_image, mask, bg_color,
         params=GaussianParams(live=p.live, **new_fields),
         mu=new_mu, nu=new_nu,
         stats=state.stats.update(g_offset, radii, vis), step=step)
-    return new_state, SDSMetrics(loss=loss, bg_loss=bg_l, sds_loss=sds_l)
+    return new_state, SDSMetrics(loss=loss, bg_loss=bg_l,
+                             sds_loss=sds_l, pairs=pairs)

@@ -34,7 +34,7 @@ def train(args):
     scene = Scene(args.source_path, args.bg_model,
                   resolution=args.resolution, max_sh_degree=args.sh_degree,
                   shuffle=False, load_iteration=None, workspace=ws,
-                  capacity=16)
+                  load_gaussians=False)
     scene.scene_name = args.scene_id
     box = obb_mod.load_obb(ws.bds_add(args.scene_id))
     del_ply = os.path.join(args.bg_model, "point_cloud", "del",
@@ -57,6 +57,11 @@ def train(args):
     key = jax.random.key(0)
     rng = random.Random(0)
     stack = []
+    if args.backend == "auto":
+        args.backend = ("pallas" if jax.default_backend() not in
+                        ("cpu",) else "xla")
+        logger.echo(f"rasterizer backend: {args.backend}")
+    pair_mult = args.pair_budget_mult
     for iteration in range(1, cfg.iterations + 1):
         if not stack:
             stack = list(cams)
@@ -69,21 +74,28 @@ def train(args):
                 state, rcam, gt, bg, cfg,
                 spatial_lr_scale=scene.cameras_extent,
                 sh_degree=args.sh_degree, loss_mode="full",
-                max_per_tile=args.max_per_tile)
+                max_per_tile=args.max_per_tile,
+                pair_budget_mult=pair_mult, backend=args.backend)
         else:
             state, metrics = gs_trainer.train_step(
                 state, rcam, gt, bg, cfg,
                 spatial_lr_scale=scene.cameras_extent,
                 sh_degree=args.sh_degree,
                 mask=jnp.asarray(cam.mask), loss_mode="background",
-                max_per_tile=args.max_per_tile)
+                max_per_tile=args.max_per_tile,
+                pair_budget_mult=pair_mult, backend=args.backend)
         key, sub = jax.random.split(key)
         state, info = gs_trainer.maybe_densify(state, sub, cfg,
                                                scene.cameras_extent,
                                                iteration)
         state = gs_trainer.grow_if_needed(state, info)
         if iteration % args.log_interval == 0:
-            logger.log(iteration, loss=metrics.loss,
+            pairs = int(metrics.pairs)
+            if pairs > 0.85 * pair_mult * state.params.capacity:
+                pair_mult *= 2
+                logger.echo(f"[ITER {iteration}] pair budget -> "
+                            f"{pair_mult}x capacity")
+            logger.log(iteration, loss=metrics.loss, pairs=pairs,
                        points=int(metrics.num_live), **(info or {}))
         if iteration in args.save_iterations:
             from ..gs import gaussians as g_mod
@@ -114,6 +126,9 @@ def main(argv=None):
     parser.add_argument("--save_iterations", nargs="+", type=int,
                         default=[7000, 30000])
     parser.add_argument("--max_per_tile", type=int, default=1024)
+    parser.add_argument("--pair_budget_mult", type=int, default=4)
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "xla", "pallas"])
     parser.add_argument("--log_interval", type=int, default=100)
     args = parser.parse_args(argv)
     common.apply_registry(args)

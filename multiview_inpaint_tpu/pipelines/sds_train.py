@@ -81,7 +81,7 @@ def train(args):
     scene = Scene(args.source_path, args.bg_model,
                   resolution=args.resolution, max_sh_degree=args.sh_degree,
                   shuffle=False, load_iteration=None, workspace=ws,
-                  capacity=16)
+                  load_gaussians=False)
     scene.scene_name = args.scene_id
     box = obb_mod.load_obb(ws.bds_add(args.scene_id))
     del_ply = os.path.join(args.bg_model, "point_cloud", "del",
@@ -100,6 +100,11 @@ def train(args):
     cfg = common.optimization_config_from(args)
     state = gs_trainer.init_state(params)
     bg = common.default_background(args.white_background)
+    if args.backend == "auto":
+        args.backend = ("pallas" if jax.default_backend() not in
+                        ("cpu",) else "xla")
+        logger.echo(f"rasterizer backend: {args.backend}")
+    pair_mult = args.pair_budget_mult
     key = jax.random.key(0)
     rng = random.Random(0)
     stack = []
@@ -117,14 +122,16 @@ def train(args):
                 state, rcam, gt, bg, cfg,
                 spatial_lr_scale=scene.cameras_extent,
                 sh_degree=args.sh_degree, mask=m, loss_mode="background",
-                max_per_tile=args.max_per_tile)
+                max_per_tile=args.max_per_tile,
+                pair_budget_mult=pair_mult, backend=args.backend)
             loss_val, extra = float(metrics.loss), {}
         else:
             state, metrics = sds_trainer.sds_train_step(
                 state, rcam, gt, m, bg, cfg, guidance, text_embs, k1,
                 spatial_lr_scale=scene.cameras_extent,
                 sh_degree=args.sh_degree, sds_weight=args.sds_weight,
-                max_per_tile=args.max_per_tile)
+                max_per_tile=args.max_per_tile,
+                pair_budget_mult=pair_mult, backend=args.backend)
             loss_val = float(metrics.loss)
             extra = {"bg": float(metrics.bg_loss),
                      "sds": float(metrics.sds_loss)}
@@ -133,8 +140,13 @@ def train(args):
                                                iteration)
         state = gs_trainer.grow_if_needed(state, info)
         if iteration % args.log_interval == 0:
+            pairs = int(metrics.pairs)
+            if pairs > 0.85 * pair_mult * state.params.capacity:
+                pair_mult *= 2
+                logger.echo(f"[ITER {iteration}] pair budget -> "
+                            f"{pair_mult}x capacity")
             logger.log(iteration, loss=loss_val,
-                       points=int(state.params.num_live()),
+                       points=int(state.params.num_live()), pairs=pairs,
                        **extra, **(info or {}))
         if iteration in args.save_iterations:
             path = os.path.join(args.model_path, "point_cloud",
@@ -165,6 +177,9 @@ def main(argv=None):
     parser.add_argument("--save_iterations", nargs="+", type=int,
                         default=[5000])
     parser.add_argument("--max_per_tile", type=int, default=1024)
+    parser.add_argument("--pair_budget_mult", type=int, default=4)
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "xla", "pallas"])
     parser.add_argument("--log_interval", type=int, default=50)
     args = parser.parse_args(argv)
     common.apply_registry(args)

@@ -40,6 +40,21 @@ def apply_registry(args):
         load_registry_overrides(args.registry)
 
 
+def add_backend_arg(parser: argparse.ArgumentParser):
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "xla", "pallas"],
+                        help="rasterizer backend; auto = pallas on TPU")
+
+
+def resolve_backend(backend: str) -> str:
+    """'auto' -> pallas off-CPU (fused kernels), xla on CPU (pallas
+    interpret mode is orders of magnitude slower there)."""
+    if backend != "auto":
+        return backend
+    import jax
+    return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+
+
 def add_model_args(parser: argparse.ArgumentParser):
     parser.add_argument("--source_path", "-s", type=str, default="")
     parser.add_argument("--model_path", "-m", type=str, default="")

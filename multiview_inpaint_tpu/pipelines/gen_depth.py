@@ -50,6 +50,7 @@ def main(argv=None):
     parser.add_argument("--frames", type=int, default=14)
     parser.add_argument("--workspace", default=".")
     parser.add_argument("--inpaint_root", default="inpaint")
+    common.add_backend_arg(parser)
     args = parser.parse_args(argv)
     common.apply_registry(args)
 
@@ -91,7 +92,8 @@ def main(argv=None):
         for view in views:
             out = render(params, RenderCamera.from_camera(view), bg,
                          sh_degree=args.sh_degree,
-                         pair_budget=8 * params.capacity)
+                         pair_budget=8 * params.capacity,
+                         backend=common.resolve_backend(args.backend))
             depth = np.asarray(out.depth)
             disp = 1.0 / np.clip(depth, 0.1, None)
             disp[depth >= DEPTH_EMPTY - 1e-3] = 0.0

@@ -37,7 +37,8 @@ from . import common
 
 def render_sequence(views, params, box, out_dir, bg, sh_degree=0,
                     max_per_tile=1024, pair_budget_mult=8,
-                    save_poses=True, use_image_name=True):
+                    save_poses=True, use_image_name=True,
+                    backend="xla"):
     os.makedirs(os.path.join(out_dir, "renders"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "mask"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "masked"), exist_ok=True)
@@ -46,7 +47,8 @@ def render_sequence(views, params, box, out_dir, bg, sh_degree=0,
     # the 512x384 size, so the per-view stage overheads amortize.
     outs = render_views(params, views, bg, sh_degree=sh_degree,
                         max_per_tile=max_per_tile,
-                        pair_budget=pair_budget_mult * params.capacity)
+                        pair_budget=pair_budget_mult * params.capacity,
+                        backend=backend)
     for idx, view in enumerate(views):
         v_id = view.image_name if use_image_name else f"{idx:02d}"
         poses.append(view.camera_to_world)
@@ -88,6 +90,7 @@ def main(argv=None):
                         help="render the coarse SDS model sequence "
                              "(reads output_sds, writes inpaint_sds)")
     parser.add_argument("--max_per_tile", type=int, default=1024)
+    common.add_backend_arg(parser)
     args = parser.parse_args(argv)
     common.apply_registry(args)
 
@@ -103,6 +106,7 @@ def main(argv=None):
     actual_scene = args.scene_id.split("_")[0]
     orbit = ORBIT_PARAMS.get(actual_scene)
     bg = common.default_background(args.white_background)
+    backend = common.resolve_backend(args.backend)
     front = scene.front_view()
 
     seq_root = "inpaint_sds" if args.sds else "inpaint"
@@ -118,7 +122,7 @@ def main(argv=None):
         render_sequence(views, scene.gaussians, box, out_dir, bg,
                         sh_degree=args.sh_degree,
                         max_per_tile=args.max_per_tile,
-                        use_image_name=True)
+                        use_image_name=True, backend=backend)
         print(f"mode {mode}: {len(views)} frames -> {out_dir}")
 
     if not args.sds:
@@ -128,7 +132,7 @@ def main(argv=None):
         render_sequence(scene.train_cameras(), scene.gaussians, box,
                         out_dir, bg, sh_degree=args.sh_degree,
                         max_per_tile=args.max_per_tile, save_poses=False,
-                        use_image_name=True)
+                        use_image_name=True, backend=backend)
         print(f"bds_train masks -> {out_dir}")
 
 

@@ -20,7 +20,7 @@ from . import common
 
 def render_set(model_path, name, iteration, views, params, bg,
                sh_degree, max_per_tile=1024, pair_budget_mult=8,
-               save_depth=False):
+               save_depth=False, backend="xla"):
     render_dir = os.path.join(model_path, name, f"ours_{iteration}",
                               "renders")
     gt_dir = os.path.join(model_path, name, f"ours_{iteration}", "gt")
@@ -29,7 +29,8 @@ def render_set(model_path, name, iteration, views, params, bg,
     for idx, view in enumerate(views):
         out = render(params, RenderCamera.from_camera(view), bg,
                      sh_degree=sh_degree, max_per_tile=max_per_tile,
-                     pair_budget=pair_budget_mult * params.capacity)
+                     pair_budget=pair_budget_mult * params.capacity,
+                     backend=backend)
         scene_io.save_image(os.path.join(render_dir, f"{idx:05d}.png"),
                             np.asarray(out.rgb))
         if view.image is not None:
@@ -52,6 +53,7 @@ def main(argv=None):
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--save_depth", action="store_true")
     parser.add_argument("--max_per_tile", type=int, default=1024)
+    common.add_backend_arg(parser)
     args = parser.parse_args(argv)
     args = common.load_cfg(args.model_path, args, set())
 
@@ -61,16 +63,17 @@ def main(argv=None):
                   load_iteration=args.iteration)
     iteration = scene.loaded_iteration or args.iteration
     bg = common.default_background(args.white_background)
+    backend = common.resolve_backend(args.backend)
     if not args.skip_train:
         render_set(args.model_path, "train", iteration,
                    scene.train_cameras(), scene.gaussians, bg,
                    args.sh_degree, args.max_per_tile,
-                   save_depth=args.save_depth)
+                   save_depth=args.save_depth, backend=backend)
     if not args.skip_test:
         render_set(args.model_path, "test", iteration,
                    scene.test_cameras(), scene.gaussians, bg,
                    args.sh_degree, args.max_per_tile,
-                   save_depth=args.save_depth)
+                   save_depth=args.save_depth, backend=backend)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ def main(argv=None):
                         help="inpaint hand-off dir (abs or relative to workspace)")
     parser.add_argument("--modes", nargs="+", default=["x1", "x2"])
     parser.add_argument("--frames", type=int, default=14)
+    common.add_backend_arg(parser)
     args = parser.parse_args(argv)
     common.apply_registry(args)
 
@@ -62,7 +63,8 @@ def main(argv=None):
         for view in views:
             out = render(scene.gaussians, RenderCamera.from_camera(view),
                          bg, sh_degree=args.sh_degree,
-                         pair_budget=8 * scene.gaussians.capacity)
+                         pair_budget=8 * scene.gaussians.capacity,
+                         backend=common.resolve_backend(args.backend))
             disp = 1.0 / np.clip(np.asarray(out.depth), 0.1, None)
             disp = disp / disp.max()
             scene_io.save_image(os.path.join(out_dir,

@@ -41,6 +41,7 @@ def main(argv=None):
     parser.add_argument("--workspace", default=".")
     parser.add_argument("--inpaint_root", default="inpaint",
                         help="inpaint hand-off dir (abs or relative to workspace)")
+    common.add_backend_arg(parser)
     args = parser.parse_args(argv)
     common.apply_registry(args)
 
@@ -86,7 +87,8 @@ def main(argv=None):
     for i, view in enumerate(views):
         out = render(params, RenderCamera.from_camera(view), bg,
                      sh_degree=args.sh_degree,
-                     pair_budget=8 * params.capacity)
+                     pair_budget=8 * params.capacity,
+                     backend=common.resolve_backend(args.backend))
         scene_io.save_image(os.path.join(out_dir, f"{i:05d}.png"),
                             np.asarray(jnp.clip(out.rgb, 0, 1)))
     print(f"{len(views)} frames -> {out_dir}")

@@ -46,12 +46,13 @@ class CameraBatch(NamedTuple):
 @partial(jax.jit,
          static_argnames=("cfg", "spatial_lr_scale", "tan_fovx", "tan_fovy",
                           "width", "height", "sh_degree", "max_per_tile",
-                          "pair_budget_mult"))
+                          "pair_budget_mult", "backend"))
 def dp_train_step(state: TrainState, batch: CameraBatch,
                   bg_color: jnp.ndarray, cfg: OptimizationConfig,
                   spatial_lr_scale: float, tan_fovx: float, tan_fovy: float,
                   width: int, height: int, sh_degree: int = 0,
-                  max_per_tile: int = 512, pair_budget_mult: int = 8):
+                  max_per_tile: int = 512, pair_budget_mult: int = 8,
+                  backend: str = "xla"):
     """One SPMD step over a view batch: mean loss over all views."""
     p = state.params
     n = p.capacity
@@ -64,7 +65,7 @@ def dp_train_step(state: TrainState, batch: CameraBatch,
                            width=width, height=height)
         out = render(params, cam, bg_color, sh_degree=sh_degree,
                      max_per_tile=max_per_tile,
-                     pair_budget=pair_budget_mult * n)
+                     pair_budget=pair_budget_mult * n, backend=backend)
         pred = jnp.transpose(out.rgb, (2, 0, 1))
         gtc = jnp.transpose(gt, (2, 0, 1))
         l1 = loss_utils.l1_loss(pred, gtc)

@@ -250,3 +250,27 @@ def test_pallas_backward_matches_xla_grads():
         b = np.asarray(getattr(g_pal, f))
         np.testing.assert_allclose(b, a, atol=2e-6 + 1e-4 * np.abs(a).max(),
                                    err_msg=f)
+
+
+def test_render_views_matches_individual():
+    rng = np.random.default_rng(5)
+    n = 40
+    p = _make_params(rng.normal(0, 0.6, (n, 3)),
+                     rng.random((n, 3)),
+                     rng.uniform(0.3, 0.9, (n, 1)),
+                     rng.uniform(0.05, 0.2, (n, 3)))
+    cams = [cameras.make_camera(i, np.eye(3),
+                                np.array([0.1 * i, 0.0, 4.0 + 0.2 * i]),
+                                fovx=0.8, fovy=0.8, width=64, height=48)
+            for i in range(3)]
+    bg = jnp.zeros(3)
+    outs = rasterizer.render_views(p, cams, bg, max_per_tile=64,
+                                   pair_budget=8 * n)
+    assert outs.rgb.shape == (3, 48, 64, 3)
+    for i, c in enumerate(cams):
+        one = rasterizer.render(p, RenderCamera.from_camera(c), bg,
+                                max_per_tile=64, pair_budget=8 * n)
+        np.testing.assert_allclose(np.asarray(outs.rgb[i]),
+                                   np.asarray(one.rgb), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(outs.depth[i]),
+                                   np.asarray(one.depth), atol=1e-5)

@@ -11,7 +11,8 @@ primitives designed around what is fast on TPU:
    scatter of per-gaussian deltas at the segment starts + a cumsum over
    the slot axis (TPU gathers/scatters over millions of random indices
    are pathologically slow; cumsums and small scatters are not). The
-   (x0, y0, rect_w) channels ride bit-packed in one int32 lane.
+   big prefix sums run as blocked triangular matmuls on the MXU
+   (``_blocked_cumsum``) instead of XLA's log-pass cumsum.
 3. ONE packed int32 key sort ``(tile << bits) | depth_rank`` (gaussians
    are pre-sorted by depth once, N elements, so within-tile pair order ==
    rank order),
@@ -53,6 +54,31 @@ class TileBins(NamedTuple):
 
 def _delta(v):
     return jnp.diff(jnp.concatenate([jnp.zeros((1,), v.dtype), v]))
+
+
+def _blocked_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum over axis 0 of an int32 [P, C] array, computed
+    as 128-row blocks x a triangular-ones matmul on the MXU plus a tiny
+    block-offset cumsum. XLA's native cumsum lowers to log(P) shifted
+    adds over the whole array (~21 passes at P~2M); this does one MXU
+    pass (Precision.HIGHEST keeps f32-exact integer sums). Exact while
+    every prefix value fits f32's 2^24 integer range — true for all
+    binning channels (counts <= N, starts <= P, tile coords < 1024)."""
+    import jax
+
+    p, c = x.shape
+    b = 128
+    nb = -(-p // b)
+    xf = jnp.pad(x, ((0, nb * b - p), (0, 0))).astype(jnp.float32)
+    xf = xf.reshape(nb, b, c)
+    rows = jnp.arange(b)
+    tri = (rows[:, None] <= rows[None, :]).astype(jnp.float32)
+    intra = jnp.einsum("nbc,bk->nkc", xf, tri,
+                       precision=jax.lax.Precision.HIGHEST)
+    totals = intra[:, -1, :]                       # [nb, C]
+    offs = jnp.cumsum(totals, axis=0) - totals     # exclusive, tiny
+    out = (intra + offs[:, None, :]).reshape(nb * b, c)
+    return jnp.round(out[:p]).astype(jnp.int32)
 
 
 def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
@@ -105,32 +131,17 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     # (duplicate starts from count-0 gaussians accumulate their deltas,
     # which telescopes to the correct next value).
     slots = jnp.arange(pair_budget, dtype=jnp.int32)
-    bitpack = tiles_x < 1024 and tiles_y < 1024
-    if bitpack:
-        # (x0, y0, rect_w) share one int32 lane: 10 bits each. Deltas may
-        # be negative, but the prefix sum telescopes exactly in int32
-        # arithmetic and every reconstructed value is in-range.
-        xyw = (x0 << 20) | (y0 << 10) | rect_w
-        deltas = jnp.stack([jnp.ones((n,), jnp.int32), _delta(starts),
-                            _delta(xyw)], axis=1)  # [N, 3]
-    else:
-        deltas = jnp.stack([jnp.ones((n,), jnp.int32), _delta(starts),
-                            _delta(x0), _delta(y0), _delta(rect_w)],
-                           axis=1)  # [N, 5]
-    carried = jnp.cumsum(
+    deltas = jnp.stack([jnp.ones((n,), jnp.int32), _delta(starts),
+                        _delta(x0), _delta(y0), _delta(rect_w)],
+                       axis=1)  # [N, 5]
+    carried = _blocked_cumsum(
         jnp.zeros((pair_budget, deltas.shape[1]), jnp.int32
-                  ).at[starts].add(deltas, mode="drop"), axis=0)
+                  ).at[starts].add(deltas, mode="drop"))
     gid_c = jnp.clip(carried[:, 0] - 1, 0, n - 1)
     local = slots - carried[:, 1]
-    if bitpack:
-        pk = carried[:, 2]
-        sx0 = pk >> 20
-        sy0 = (pk >> 10) & 1023
-        w = jnp.maximum(pk & 1023, 1)
-    else:
-        sx0 = carried[:, 2]
-        sy0 = carried[:, 3]
-        w = jnp.maximum(carried[:, 4], 1)
+    sx0 = carried[:, 2]
+    sy0 = carried[:, 3]
+    w = jnp.maximum(carried[:, 4], 1)
     tx = sx0 + local % w
     ty = sy0 + local // w
     tile = ty * tiles_x + tx
@@ -255,9 +266,9 @@ def _aligned_bins(key, radius, x0, y0, rect_w, starts, ends, total, n,
     pad_starts = (pad_ends - pad_counts).astype(jnp.int32)
     pad_total = pad_ends[-1]
     tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
-    pad_tile = jnp.cumsum(
-        jnp.zeros((pad_budget,), jnp.int32).at[pad_starts].add(
-            _delta(tile_idx), mode="drop"))
+    pad_tile = _blocked_cumsum(
+        jnp.zeros((pad_budget, 1), jnp.int32).at[pad_starts, 0].add(
+            _delta(tile_idx), mode="drop"))[:, 0]
     pad_slots = jnp.arange(pad_budget, dtype=jnp.int32)
     mask = jnp.int32((1 << gid_bits) - 1)
     pad_key = jnp.where(pad_slots < pad_total,

@@ -47,9 +47,9 @@ def main():
     rcam = RenderCamera.from_camera(cam)
     bg = jnp.zeros(3, jnp.float32)
 
-    # 18*n covers this scene's true pair count (~16.2*n; verified below —
-    # 16*n silently dropped ~1.3% of pairs).
-    kwargs = dict(sh_degree=0, pair_budget=18 * n, backend="pallas")
+    # 14*n covers this scene's true pair count (~11.8*n with the 3-sigma
+    # AABB rects; the overflow check below guards the margin).
+    kwargs = dict(sh_degree=0, pair_budget=14 * n, backend="pallas")
 
     # Warmup / compile.
     out = render(params, rcam, bg, **kwargs)
@@ -65,7 +65,8 @@ def main():
     total = int(binning.bin_gaussians(
         proj.means2d, proj.radius, proj.depth, -(-1920 // 16),
         -(-1080 // 16), 16, 16, kwargs["pair_budget"], 1024,
-        gather_ids=False, aligned_chunk=128).total_pairs)
+        gather_ids=False, aligned_chunk=128,
+        extent=proj.extent).total_pairs)
     if total > kwargs["pair_budget"]:
         print(f"pair budget overflow: {total}", file=sys.stderr)
         return 1

@@ -163,7 +163,8 @@ def render(params: GaussianParams, camera: RenderCamera,
         tiles_x, tiles_y, tile_w, tile_h, pair_budget, max_per_tile,
         gather_ids=(backend == "xla"),
         aligned_chunk=(pallas_composite.CHUNK if backend == "pallas"
-                       else 0))
+                       else 0),
+        extent=jax.lax.stop_gradient(proj.extent))
 
     if backend == "pallas":
         if (tile_h, tile_w) != (pallas_composite.TILE_H,
@@ -247,6 +248,7 @@ def render_oracle(params: GaussianParams, camera: RenderCamera,
     rgb, depth, alpha = composite.composite_dense(
         proj.means2d, proj.conic, proj.color, proj.depth, proj.opacity,
         order, camera.width, camera.height,
-        jnp.asarray(bg_color, jnp.float32), radius=proj.radius)
+        jnp.asarray(bg_color, jnp.float32), radius=proj.radius,
+        extent=proj.extent)
     return RenderOutput(rgb=rgb, depth=depth, alpha=alpha,
                         radii=proj.radius, visibility=proj.radius > 0)

@@ -85,7 +85,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   depth: jnp.ndarray, tiles_x: int, tiles_y: int,
                   tile_w: int, tile_h: int, pair_budget: int,
                   max_per_tile: int, gather_ids: bool = True,
-                  aligned_chunk: int = 0) -> TileBins:
+                  aligned_chunk: int = 0,
+                  extent: jnp.ndarray | None = None) -> TileBins:
     """``aligned_chunk`` > 0 lays the sorted pairs out so every tile's
     segment starts at a chunk-aligned offset (Mosaic-provable DMA slices
     for the Pallas kernel); ``gid_sorted`` then has length
@@ -105,15 +106,23 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         means2d = means2d[order]
         radius = radius[order]
         depth = depth[order]
+        if extent is not None:
+            extent = extent[order]
     else:
         order = None
 
-    r = radius.astype(jnp.float32)
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - r) / tile_w), 0, tiles_x)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - r) / tile_h), 0, tiles_y)
-    x1 = jnp.clip(jnp.floor((means2d[:, 0] + r + tile_w - 1) / tile_w),
+    # Per-axis half-extents (3-sigma ellipse AABB) when provided —
+    # tighter rects than the CUDA reference's circumscribed circle.
+    if extent is not None:
+        rx = extent[:, 0].astype(jnp.float32)
+        ry = extent[:, 1].astype(jnp.float32)
+    else:
+        rx = ry = radius.astype(jnp.float32)
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile_w), 0, tiles_x)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_h), 0, tiles_y)
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + rx + tile_w - 1) / tile_w),
                   0, tiles_x)
-    y1 = jnp.clip(jnp.floor((means2d[:, 1] + r + tile_h - 1) / tile_h),
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + ry + tile_h - 1) / tile_h),
                   0, tiles_y)
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)

@@ -117,14 +117,16 @@ def composite_tiles(ids: jnp.ndarray, valid: jnp.ndarray,
 @partial(jax.jit, static_argnames=("width", "height", "tile"))
 def composite_dense(means2d, conic, color, depth, opacity, order,
                     width: int, height: int, bg_color,
-                    radius=None, tile: tuple[int, int] | None = (16, 16)):
+                    radius=None, tile: tuple[int, int] | None = (16, 16),
+                    extent=None):
     """Reference oracle: every pixel against every gaussian, no tiling.
 
     ``order`` is the depth argsort of the gaussians (culled ones must sort
     last with opacity 0). When ``radius``/``tile`` are given, a splat only
     reaches pixels whose tile intersects its radius rectangle — the same
-    spatial cutoff the tiled path (and the CUDA reference) applies.
-    O(H*W*N) — tests only.
+    spatial cutoff the tiled path (and the CUDA reference) applies;
+    ``extent`` [N,2] switches to the tighter per-axis 3-sigma AABB the
+    tiled path bins with. O(H*W*N) — tests only.
     """
     ys, xs = jnp.mgrid[0:height, 0:width]
     pix = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(
@@ -143,13 +145,17 @@ def composite_dense(means2d, conic, color, depth, opacity, order,
     del d
     if radius is not None and tile is not None:
         th, tw = tile
-        r = radius[order].astype(jnp.float32)
+        if extent is not None:
+            rx = extent[order, 0].astype(jnp.float32)
+            ry = extent[order, 1].astype(jnp.float32)
+        else:
+            rx = ry = radius[order].astype(jnp.float32)
         px_tile = jnp.floor(pix[:, 0] / tw)
         py_tile = jnp.floor(pix[:, 1] / th)
-        x0 = jnp.floor((mu[:, 0] - r) / tw)
-        x1 = jnp.floor((mu[:, 0] + r + tw - 1) / tw)
-        y0 = jnp.floor((mu[:, 1] - r) / th)
-        y1 = jnp.floor((mu[:, 1] + r + th - 1) / th)
+        x0 = jnp.floor((mu[:, 0] - rx) / tw)
+        x1 = jnp.floor((mu[:, 0] + rx + tw - 1) / tw)
+        y0 = jnp.floor((mu[:, 1] - ry) / th)
+        y1 = jnp.floor((mu[:, 1] + ry + th - 1) / th)
         in_rect = ((px_tile[:, None] >= x0[None]) &
                    (px_tile[:, None] < x1[None]) &
                    (py_tile[:, None] >= y0[None]) &

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ...utils import sh as sh_utils
@@ -118,10 +119,17 @@ def project_gaussians(
 
     visible = in_front & det_ok & live
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
-    extent = jnp.where(
+    # Opacity-aware sigma cutoff: alpha = op*exp(-M^2/2) >= 1/255 holds
+    # exactly inside the k-sigma ellipse with k = sqrt(2 ln(255 op)) —
+    # the compositor's ALPHA_MIN gate drops everything outside, so
+    # shrinking the rect to that ellipse's AABB changes nothing. Capped
+    # at 3 to keep the reference's 3-sigma outer bound.
+    k = jnp.minimum(3.0, jnp.sqrt(2.0 * jnp.maximum(
+        jnp.log(255.0 * jnp.maximum(opacity, 1e-12)), 0.0)))
+    extent = jax.lax.stop_gradient(jnp.where(
         visible[:, None],
-        jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(
-            jnp.stack([a, c], axis=-1), 0.0))), 0.0)
+        jnp.ceil(k[:, None] * jnp.sqrt(jnp.maximum(
+            jnp.stack([a, c], axis=-1), 0.0))), 0.0))
 
     # SH -> RGB along viewing directions.
     dirs = xyz - campos

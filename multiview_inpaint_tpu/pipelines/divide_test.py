@@ -48,6 +48,7 @@ def main(argv=None):
                    if f.startswith("samples") and f.endswith(".png"))
     if len(grids) != len(args.items):
         raise SystemExit(f"{len(grids)} grids vs {len(args.items)} items")
+    by_case: dict = {}
     for fname, item in zip(grids, args.items):
         scene, ctrl, mode = item.split(":")
         grid = scene_io.load_image(os.path.join(args.grid_dir, fname))
@@ -55,7 +56,24 @@ def main(argv=None):
         out_dir = os.path.join(args.out, scene, ctrl, mode)
         for i, fr in enumerate(frames):
             scene_io.save_image(os.path.join(out_dir, f"{i:02d}.png"), fr)
+        by_case.setdefault((scene, ctrl), {})[mode] = frames
         print(f"{fname} -> {out_dir} ({len(frames)} frames)")
+
+    # Preview video per case, reference frame order (divide_test.py:68-86):
+    # x1 played backwards (dropping its first frame) then x2 forwards.
+    from PIL import Image
+    for (scene, ctrl), modes in by_case.items():
+        seq = list(reversed(modes.get("x1", [])[1:])) + modes.get("x2", [])
+        if not seq:
+            continue
+        vids = os.path.join(args.out, "vis_video", scene)
+        os.makedirs(vids, exist_ok=True)
+        imgs = [Image.fromarray((np.clip(f, 0, 1) * 255).astype(np.uint8))
+                for f in seq]
+        path = os.path.join(vids, f"{ctrl}.gif")
+        imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                     duration=100, loop=0)
+        print(f"preview -> {path} ({len(imgs)} frames)")
 
 
 if __name__ == "__main__":

@@ -47,28 +47,26 @@ def main():
     rcam = RenderCamera.from_camera(cam)
     bg = jnp.zeros(3, jnp.float32)
 
-    # 14*n covers this scene's true pair count (~11.8*n with the 3-sigma
-    # AABB rects; the overflow check below guards the margin).
-    kwargs = dict(sh_degree=0, pair_budget=14 * n, backend="pallas")
+    # 13*n covers this scene's true pair count (~11.8*n with the 3-sigma
+    # AABB rects); pad_budget covers the true alignment padding (~34 per
+    # tile measured vs the 127 worst case). Every budgeted slot rides the
+    # pair sort and the attribute gather, so both are kept tight and
+    # overflow-checked below before timing.
+    tiles = (-(-1920 // 16)) * (-(-1080 // 16))
+    kwargs = dict(sh_degree=0, pair_budget=13 * n, backend="pallas",
+                  pad_budget=tiles * 48)
 
     # Warmup / compile.
     out = render(params, rcam, bg, **kwargs)
     jax.block_until_ready(out.rgb)
 
-    # No-overflow check: the timed config must not clip pairs.
-    from multiview_inpaint_tpu.ops.rasterizer import binning, geometry
-    proj = geometry.project_gaussians(
-        params.xyz, params.features(), params.act_opacity()[:, 0],
-        params.act_scaling(), params.act_rotation(), params.live,
-        rcam.world_view, rcam.full_proj, rcam.campos, rcam.tan_fovx,
-        rcam.tan_fovy, rcam.width, rcam.height, 0, 1.0, None)
-    total = int(binning.bin_gaussians(
-        proj.means2d, proj.radius, proj.depth, -(-1920 // 16),
-        -(-1080 // 16), 16, 16, kwargs["pair_budget"], 1024,
-        gather_ids=False, aligned_chunk=128,
-        extent=proj.extent).total_pairs)
-    if total > kwargs["pair_budget"]:
-        print(f"pair budget overflow: {total}", file=sys.stderr)
+    # No-overflow check: the timed config must not clip pairs or pads.
+    if int(out.pairs) > kwargs["pair_budget"]:
+        print(f"pair budget overflow: {int(out.pairs)}", file=sys.stderr)
+        return 1
+    if int(out.pad_pairs) > kwargs["pad_budget"]:
+        print(f"pad budget overflow: {int(out.pad_pairs)}",
+              file=sys.stderr)
         return 1
 
     iters = 20

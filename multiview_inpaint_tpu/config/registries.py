@@ -107,6 +107,30 @@ VIS_PARAMS: Dict[str, OrbitParams] = {
 }
 
 
+def get_orbit_params(scene_key: str, table: Dict[str, OrbitParams]
+                     | None = None, allow_default: bool = False,
+                     ) -> OrbitParams:
+    """Resolve a scene's orbit geometry.
+
+    The reference indexes its hard-coded dict directly and raises
+    ``KeyError`` on unknown scenes (``gs-simp/scene/helpers.py:9-94``);
+    a silent default here produced plausible-looking but wrong orbits
+    for typo'd scene ids. Unknown keys now raise with a hint unless
+    ``allow_default`` is set, which warns loudly and returns defaults.
+    """
+    table = ORBIT_PARAMS if table is None else table
+    if scene_key in table:
+        return table[scene_key]
+    msg = (f"scene {scene_key!r} is not in the orbit registry "
+           f"(known: {sorted(table)})")
+    if allow_default:
+        import warnings
+        warnings.warn(msg + " — using default OrbitParams", stacklevel=2)
+        return OrbitParams()
+    raise KeyError(msg + "; add it via --registry JSON or pass "
+                   "--allow_default_orbit")
+
+
 def load_registry_overrides(path: str) -> None:
     """Merge user registries from a JSON file:
     ``{"front_views": {...}, "insertion_prompts": {...},

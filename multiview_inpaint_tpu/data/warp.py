@@ -50,8 +50,9 @@ def compute_warp_maps(depths: np.ndarray, poses_c2w: np.ndarray,
     zc = prev_cam[:, 2]
     u = prev_cam[:, 0] / np.where(np.abs(zc) > 1e-9, zc, 1e-9) * fx + cx
     v = prev_cam[:, 1] / np.where(np.abs(zc) > 1e-9, zc, 1e-9) * fy + cy
-    ui = np.round(u).astype(np.int64)
-    vi = np.round(v).astype(np.int64)
+    # floor() like the reference (my_dataset.py:2083 ``frames_uv.floor()``)
+    ui = np.floor(u).astype(np.int64)
+    vi = np.floor(v).astype(np.int64)
     valid = ((d[1:].reshape(t - 1, -1) > depth_valid_min)
              & (zc > depth_valid_min)
              & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h))

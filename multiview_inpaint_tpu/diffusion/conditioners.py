@@ -31,6 +31,14 @@ class ConditionerConfig:
     embed_dim: int = 256          # fourier outdim per scalar key
     force_zero_keys: Tuple[str, ...] = ("cond_frames_without_noise",
                                         "cond_frames")
+    # scalar batch keys fourier-embedded into the ``vector`` cond, in
+    # order. The SVD default is (fps, motion, aug); SV3D-style pose
+    # conditioning (reference my_dataset.py:351-366 +
+    # configs/inference/sv3d_p.yaml:84-90) appends or swaps in
+    # polars_rad / azimuths_rad / rad. Keys may be per-video [1] or
+    # per-frame [t]; mixed shapes broadcast to per-frame.
+    vector_keys: Tuple[str, ...] = ("fps_id", "motion_bucket_id",
+                                    "cond_aug")
 
 
 def fourier_scalar_embed(value: jnp.ndarray, outdim: int) -> jnp.ndarray:
@@ -61,18 +69,18 @@ class Conditioner:
         cond_frames [b,H,W,3], fps_id [b], motion_bucket_id [b],
         cond_aug [b]. Returns {vector, crossattn, concat}.
         """
-        b = batch["fps_id"].shape[0]
         # crossattn: CLIP tokens of the (clean) conditioning frame.
         tokens = self.clip_embed(batch["cond_frames_without_noise"])
         crossattn = tokens[:, None, :]
 
-        # vector: fourier(fps) ++ fourier(motion) ++ fourier(cond_aug)
-        vec = jnp.concatenate([
-            fourier_scalar_embed(batch["fps_id"], self.cfg.embed_dim),
-            fourier_scalar_embed(batch["motion_bucket_id"],
-                                 self.cfg.embed_dim),
-            fourier_scalar_embed(batch["cond_aug"], self.cfg.embed_dim),
-        ], axis=-1)
+        # vector: fourier embeds of the configured scalar keys; [1]- and
+        # [t]-shaped keys may mix (per-frame wins, per-video broadcasts).
+        embs = [fourier_scalar_embed(batch[k].reshape(-1, 1),
+                                     self.cfg.embed_dim)
+                for k in self.cfg.vector_keys]
+        rows = max(e.shape[0] for e in embs)
+        embs = [jnp.broadcast_to(e, (rows, e.shape[1])) for e in embs]
+        vec = jnp.concatenate(embs, axis=-1)
 
         # concat: VAE latents of the noise-augmented conditioning frame.
         frames = batch["cond_frames"]
@@ -99,10 +107,15 @@ class Conditioner:
 
 def repeat_cond_per_frame(cond: Dict, t: int,
                           keys=("crossattn", "concat")) -> Dict:
-    """[b, ...] -> [(b t), ...] for the fold-time-into-batch layout."""
+    """[b, ...] -> [(b t), ...] for the fold-time-into-batch layout.
+
+    Leaves already-per-frame leaves (leading dim == t) alone — the
+    vector cond arrives per-frame when per-frame scalar keys (pose
+    conditioning) are configured."""
     out = dict(cond)
     for k in keys:
         if k in out:
             v = out[k]
-            out[k] = jnp.repeat(v, t, axis=0)
+            if v.shape[0] != t:
+                out[k] = jnp.repeat(v, t, axis=0)
     return out

@@ -56,6 +56,10 @@ class EngineConfig:
     compute_dtype: str = "float32"  # "bfloat16" for mixed precision
     remat: bool = False             # use_checkpoint parity (rematerialize
                                     # UNet/ControlNet activations)
+    # scalar batch keys fourier-embedded into the vector cond (SV3D-style
+    # pose conditioning swaps in polars_rad/azimuths_rad/rad; the UNet's
+    # adm_in_channels must equal 256*len(vector_keys)).
+    vector_keys: tuple = ("fps_id", "motion_bucket_id", "cond_aug")
 
 
 @jax.tree_util.register_dataclass
@@ -174,10 +178,13 @@ class SVDEngine:
         return self.clip.apply({"params": state.clip}, frames)
 
     def conditioner(self, state: EngineState) -> Conditioner:
+        from .conditioners import ConditionerConfig
         return Conditioner(
             clip_embed=lambda f: self.clip_embed(state, f),
             vae_encode_mode=lambda f: self.encode_first_stage(
                 state, f) / SCALE_FACTOR,
+            cfg=ConditionerConfig(
+                vector_keys=tuple(self.cfg.vector_keys)),
         )
 
     # --- core denoising path -------------------------------------------

@@ -311,17 +311,25 @@ def inpaint_cameras(scene: Scene, n_mode: int = 2, ctrl_id: int = -1,
         views = []
         for i in range(frames):
             v_id = f"{i:02d}"
-            mask = scene_io.load_image(os.path.join(mask_root,
-                                                    f"{v_id}.png"),
-                                       grayscale=True)
-            raw = scene_io.load_image(os.path.join(seq_root, "renders",
-                                                   f"{v_id}.png"))
             if os.path.isdir(inp_root):
+                # composite at the inpainted (SVD output) resolution —
+                # renders/masks may be at gen_seq's fixed input size
                 inp = scene_io.load_image(os.path.join(inp_root,
                                                        f"{v_id}.png"))
+                res = (inp.shape[1], inp.shape[0])
+                mask = scene_io.load_image(
+                    os.path.join(mask_root, f"{v_id}.png"),
+                    resolution=res, grayscale=True)
+                raw = scene_io.load_image(
+                    os.path.join(seq_root, "renders", f"{v_id}.png"),
+                    resolution=res)
                 img = inp * mask[..., None] + raw * (1 - mask[..., None])
             else:
-                img = raw
+                mask = scene_io.load_image(os.path.join(mask_root,
+                                                        f"{v_id}.png"),
+                                           grayscale=True)
+                img = scene_io.load_image(os.path.join(
+                    seq_root, "renders", f"{v_id}.png"))
             h, w = img.shape[:2]
             views.append(retarget(front, poses[i].astype(np.float32),
                                   image_name=v_id, width=w, height=h,

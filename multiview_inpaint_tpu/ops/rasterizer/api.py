@@ -98,6 +98,9 @@ class RenderOutput(NamedTuple):
     # clipped this frame and the caller should grow the budget (the CUDA
     # reference allocates num_rendered exactly; we grow like capacity).
     pairs: jnp.ndarray = 0
+    # true alignment-padding count (pallas backend); > pad_budget means
+    # the aligned layout overflowed — grow pad_budget like pair_budget.
+    pad_pairs: jnp.ndarray = 0
 
 
 def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile_w: int,
@@ -124,7 +127,7 @@ def _assemble(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile_w: int,
 
 @partial(jax.jit, static_argnames=("sh_degree", "tile", "pair_budget",
                                    "max_per_tile", "chunk", "backend",
-                                   "interpret"))
+                                   "interpret", "pad_budget"))
 def render(params: GaussianParams, camera: RenderCamera,
            bg_color: jnp.ndarray, sh_degree: int = 0,
            scaling_modifier: float = 1.0,
@@ -133,7 +136,8 @@ def render(params: GaussianParams, camera: RenderCamera,
            pair_budget: Optional[int] = None,
            max_per_tile: int = 1024,
            chunk: int = 128, backend: str = "xla",
-           interpret: bool = False) -> RenderOutput:
+           interpret: bool = False,
+           pad_budget: Optional[int] = None) -> RenderOutput:
     """Render one view.
 
     ``backend``: "xla" (default) or "pallas" (fused TPU kernels with
@@ -164,7 +168,8 @@ def render(params: GaussianParams, camera: RenderCamera,
         gather_ids=(backend == "xla"),
         aligned_chunk=(pallas_composite.CHUNK if backend == "pallas"
                        else 0),
-        extent=jax.lax.stop_gradient(proj.extent))
+        extent=jax.lax.stop_gradient(proj.extent),
+        pad_budget=pad_budget)
 
     if backend == "pallas":
         if (tile_h, tile_w) != (pallas_composite.TILE_H,
@@ -206,7 +211,7 @@ def render(params: GaussianParams, camera: RenderCamera,
                       camera.width, camera.height)
     return RenderOutput(rgb=rgb, depth=depth, alpha=alpha,
                         radii=proj.radius, visibility=proj.radius > 0,
-                        pairs=bins.total_pairs)
+                        pairs=bins.total_pairs, pad_pairs=bins.pad_pairs)
 
 
 def render_views(params: GaussianParams, cameras, bg_color: jnp.ndarray,

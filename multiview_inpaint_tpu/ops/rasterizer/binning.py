@@ -50,6 +50,10 @@ class TileBins(NamedTuple):
     # depth-RANK space when ``order`` is set (index into params[order])
     seg_start: jnp.ndarray    # [T] int32 segment starts into gid_sorted
     order: jnp.ndarray | None  # [N] depth argsort, or None (fallback)
+    # true alignment-padding pair count; > pad_budget means the aligned
+    # layout overflowed and the caller must grow pad_budget (doubling,
+    # like pair_budget).
+    pad_pairs: jnp.ndarray = 0
 
 
 def _delta(v):
@@ -86,12 +90,20 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   tile_w: int, tile_h: int, pair_budget: int,
                   max_per_tile: int, gather_ids: bool = True,
                   aligned_chunk: int = 0,
-                  extent: jnp.ndarray | None = None) -> TileBins:
+                  extent: jnp.ndarray | None = None,
+                  pad_budget: int | None = None) -> TileBins:
     """``aligned_chunk`` > 0 lays the sorted pairs out so every tile's
     segment starts at a chunk-aligned offset (Mosaic-provable DMA slices
     for the Pallas kernel); ``gid_sorted`` then has length
-    pair_budget + num_tiles*(aligned_chunk-1) with sentinel id = N
-    (callers pad the attribute table with one zero row)."""
+    pair_budget + pad_budget with sentinel id = N (callers pad the
+    attribute table with one zero row).
+
+    ``pad_budget`` bounds the injected alignment-padding pairs. The safe
+    worst case (default) is num_tiles*(aligned_chunk-1), but real scenes
+    need ~num_tiles*chunk/2 — every padding slot rides the pair sort, so
+    a tighter budget cuts the dominant sort. Overflow (pad_pairs >
+    pad_budget) corrupts the aligned layout; callers must check and grow,
+    exactly like pair_budget."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
 
@@ -163,9 +175,12 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         key = None
 
     if aligned_chunk and packed_ok:
+        if pad_budget is None:
+            pad_budget = num_tiles * (aligned_chunk - 1)
         return _aligned_bins(key, radius, x0, y0, rect_w, starts, ends,
                              total, n, gid_bits, tiles_x, tiles_y,
-                             num_tiles, pair_budget, aligned_chunk, order)
+                             num_tiles, pair_budget, aligned_chunk, order,
+                             pad_budget)
 
     if packed_ok:
         key_s = jnp.sort(key)
@@ -231,7 +246,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
 
 def _aligned_bins(key, radius, x0, y0, rect_w, starts, ends, total, n,
                   gid_bits, tiles_x, tiles_y, num_tiles, pair_budget,
-                  chunk, order):
+                  chunk, order, pad_budget):
     """Chunk-aligned segments by construction (see module docstring).
 
     Per-tile counts come from an exact coverage histogram computed on the
@@ -269,7 +284,6 @@ def _aligned_bins(key, radius, x0, y0, rect_w, starts, ends, total, n,
     # Padding pairs: tile t contributes aligned_len[t] - counts[t]
     # sentinel keys (tile << bits) | mask; mask = 2**bits - 1 > any real
     # rank, so they sort to the tile's segment end.
-    pad_budget = num_tiles * (c - 1)
     pad_counts = aligned_len - counts
     pad_ends = jnp.cumsum(pad_counts)
     pad_starts = (pad_ends - pad_counts).astype(jnp.int32)
@@ -290,7 +304,8 @@ def _aligned_bins(key, radius, x0, y0, rect_w, starts, ends, total, n,
     return TileBins(ids=jnp.zeros((0, 0), jnp.int32),
                     valid=jnp.zeros((0, 0), bool), counts=counts,
                     total_pairs=total, gid_sorted=gid_s,
-                    seg_start=start_aligned, order=order)
+                    seg_start=start_aligned, order=order,
+                    pad_pairs=pad_total)
 
 
 def _lex_sort(tile, depth, gid):

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from ...utils import sh as sh_utils
-from ...utils.quaternion import covariance_from_scaling_rotation
 
 
 class ProjectedGaussians(NamedTuple):
@@ -68,45 +67,65 @@ def project_gaussians(
     n = xyz.shape[0]
     f32 = jnp.float32
     xyz = xyz.astype(f32)
+    px, py, pz = xyz[:, 0], xyz[:, 1], xyz[:, 2]
 
-    # View-space position.
-    t = xyz @ world_view[:3, :3].T + world_view[:3, 3]
-    tz = t[:, 2]
+    # View-space position — written component-wise: [N,3] @ [3,3] puts 3
+    # in the lane dim, a pathological TPU layout (~2 ms of pure
+    # relayout at N=100k); scalar chains stay [N]-shaped on the VPU.
+    wv = world_view
+    tx = px * wv[0, 0] + py * wv[0, 1] + pz * wv[0, 2] + wv[0, 3]
+    ty = px * wv[1, 0] + py * wv[1, 1] + pz * wv[1, 2] + wv[1, 3]
+    tz = px * wv[2, 0] + py * wv[2, 1] + pz * wv[2, 2] + wv[2, 3]
     in_front = tz > 0.2
 
     # Clip-space -> pixel centers.
-    ph = xyz @ full_proj[:3, :3].T + full_proj[:3, 3]
-    pw = xyz @ full_proj[3, :3].T + full_proj[3, 3]
+    fp = full_proj
+    ph0 = px * fp[0, 0] + py * fp[0, 1] + pz * fp[0, 2] + fp[0, 3]
+    ph1 = px * fp[1, 0] + py * fp[1, 1] + pz * fp[1, 2] + fp[1, 3]
+    pw = px * fp[3, 0] + py * fp[3, 1] + pz * fp[3, 2] + fp[3, 3]
     inv_w = 1.0 / (pw + 1e-7)
-    ndc = ph[:, :2] * inv_w[:, None]
-    means2d = jnp.stack([((ndc[:, 0] + 1) * width - 1) * 0.5,
-                         ((ndc[:, 1] + 1) * height - 1) * 0.5], axis=-1)
+    means2d = jnp.stack([((ph0 * inv_w + 1) * width - 1) * 0.5,
+                         ((ph1 * inv_w + 1) * height - 1) * 0.5], axis=-1)
     if means2d_offset is not None:
         means2d = means2d + means2d_offset
 
-    # EWA: 2D covariance.
-    cov3d = covariance_from_scaling_rotation(
-        scaling.astype(f32), rotation.astype(f32), scaling_modifier)
+    # EWA 2D covariance, fully scalarized: cov2d = (M L)(M L)^T with
+    # L = R diag(s*mod) (columns = s_i * R[:, i]) and M = J W, J the
+    # perspective Jacobian. Equivalent to the reference's J W Sigma W^T
+    # J^T chain (cuda preprocess computeCov2D) without any [N,3,3]
+    # batched matmuls.
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
     limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
-    txz = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
-    tyz = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
     inv_z = 1.0 / tz
-    # J rows: d(pix)/d(view); [N, 2, 3]
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack([
-        jnp.stack([focal_x * inv_z, zeros, -focal_x * txz * inv_z * inv_z],
-                  axis=-1),
-        jnp.stack([zeros, focal_y * inv_z, -focal_y * tyz * inv_z * inv_z],
-                  axis=-1),
-    ], axis=-2)
-    W = world_view[:3, :3]  # [3,3]
-    M = J @ W  # [N, 2, 3]
-    cov2d = M @ cov3d @ jnp.swapaxes(M, -1, -2)  # [N, 2, 2]
-    a = cov2d[:, 0, 0] + 0.3
-    c = cov2d[:, 1, 1] + 0.3
-    b = cov2d[:, 0, 1]
+    txz = jnp.clip(tx * inv_z, -limx, limx) * tz
+    tyz = jnp.clip(ty * inv_z, -limy, limy) * tz
+    al = focal_x * inv_z
+    be = -focal_x * txz * inv_z * inv_z
+    ga = focal_y * inv_z
+    de = -focal_y * tyz * inv_z * inv_z
+    W = world_view[:3, :3]
+    m0 = [al * W[0, k] + be * W[2, k] for k in range(3)]
+    m1 = [ga * W[1, k] + de * W[2, k] for k in range(3)]
+
+    q = rotation.astype(f32)
+    qn = q / jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+    r, x, y, z = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    R = [[1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)],
+         [2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)],
+         [2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)]]
+    s = scaling.astype(f32) * scaling_modifier
+    a = jnp.zeros_like(tz)
+    b = jnp.zeros_like(tz)
+    c = jnp.zeros_like(tz)
+    for i in range(3):
+        u = s[:, i] * (m0[0] * R[0][i] + m0[1] * R[1][i] + m0[2] * R[2][i])
+        v = s[:, i] * (m1[0] * R[0][i] + m1[1] * R[1][i] + m1[2] * R[2][i])
+        a = a + u * u
+        b = b + u * v
+        c = c + v * v
+    a = a + 0.3
+    c = c + 0.3
 
     det = a * c - b * b
     det_ok = det > 0.0
@@ -131,9 +150,18 @@ def project_gaussians(
         jnp.ceil(k[:, None] * jnp.sqrt(jnp.maximum(
             jnp.stack([a, c], axis=-1), 0.0))), 0.0))
 
-    # SH -> RGB along viewing directions.
-    dirs = xyz - campos
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+    # SH -> RGB along viewing directions. Degree 0 is direction-free; the
+    # [N,3] lane-dim norm alone cost ~2.7 ms/frame at N=100k (profiled),
+    # so only build dirs when a directional band is evaluated.
+    if sh_degree > 0:
+        dx = px - campos[0]
+        dy = py - campos[1]
+        dz = pz - campos[2]
+        inv_n = jax.lax.rsqrt(
+            jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-24))
+        dirs = jnp.stack([dx * inv_n, dy * inv_n, dz * inv_n], axis=-1)
+    else:
+        dirs = jnp.zeros_like(xyz)
     # features [N, K, 3] -> eval wants [N, 3, K]
     rgb = sh_utils.eval_sh(sh_degree, jnp.swapaxes(features, -1, -2), dirs)
     color = jnp.maximum(rgb + 0.5, 0.0)

@@ -16,13 +16,13 @@ over the same chunk stream (recomputing alpha/T, carrying the prefix),
 with every per-splat parameter gradient a [PIX, CHUNK] column reduction
 (MXU matmuls against g and ones).
 
-Per-pair gradients are DMA'd to a [16, P_aligned] output at the same
+Per-pair gradients are DMA'd to a [NROWS, P_aligned] output at the same
 aligned offsets (grid is sequential on TPU — no races); the reduction to
 per-gaussian gradients is the VJP of the XLA gather that built the pair
 array, handled by autodiff in ``api.render``.
 
 Grad row layout: 0 d_mean_x, 1 d_mean_y, 2 d_conic_a, 3 d_conic_b,
-4 d_conic_c, 5 d_opacity, 6-8 d_rgb, 9 d_depth, 10-15 zero.
+4 d_conic_c, 5 d_opacity, 6-8 d_rgb, 9 d_depth (= NROWS rows).
 """
 
 from __future__ import annotations
@@ -35,7 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .composite import ALPHA_MIN, DEPTH_EMPTY, T_STOP
-from .pallas_composite import CHUNK, PIX, TILE_H, TILE_W, _lane_cumsum
+from .pallas_composite import (CHUNK, NROWS, PIX, TILE_H, TILE_W,
+                               _lane_cumsum, _lane_sum)
 
 
 def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
@@ -90,7 +91,7 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
             get_dma((i + 1) % 2, i + 1).start()
 
         get_dma(i % 2, i).wait()
-        a = scratch[i % 2]  # [16, CHUNK]
+        a = scratch[i % 2]  # [NROWS, CHUNK]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         valid = (i * CHUNK + lane) < count
@@ -104,10 +105,10 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         live = (alpha >= ALPHA_MIN) & valid & (power <= 0.0)
         alpha = jnp.where(live, alpha, 0.0)
         logs = jnp.log1p(-alpha)
-        # Shift-scan cumsum + divide, matching the forward kernel.
-        cum = _lane_cumsum(logs)
-        t_out = t_carry * jnp.exp(cum)
-        t_in = t_out / (1.0 - alpha)
+        # Exclusive prefix, matching the forward kernel's recompute.
+        cum_ex = _lane_cumsum(logs, exclusive=True)
+        t_in = t_carry * jnp.exp(cum_ex)
+        t_out = t_in * (1.0 - alpha)
         contrib = t_out >= T_STOP
         w = jnp.where(contrib, alpha * t_in, 0.0)
 
@@ -156,7 +157,8 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
 
         grow = jnp.concatenate([
             d_mx, d_my, d_a, d_b, d_c, d_opacity, wg.T,
-            jnp.zeros((6, CHUNK), jnp.float32)], axis=0)  # [16, CHUNK]
+            jnp.zeros((NROWS - 10, CHUNK), jnp.float32)],
+            axis=0)  # [NROWS, CHUNK]
         gscratch[:, :] = grow
         cp = pltpu.make_async_copy(
             gscratch,
@@ -166,8 +168,8 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         cp.wait()
 
         t_next = t_carry * jnp.exp(
-            jnp.sum(jnp.where(contrib, logs, 0.0), axis=1, keepdims=True))
-        prefix_next = prefix + jnp.sum(wA, axis=1, keepdims=True)
+            _lane_sum(jnp.where(contrib, logs, 0.0)))
+        prefix_next = prefix + _lane_sum(wA)
         return i + 1, t_next, prefix_next
 
     init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
@@ -178,7 +180,7 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
     # in the ANY-space output — zero-fill so the downstream gather-VJP
     # reduction sees clean zeros.
     def zero_fill(i, _):
-        gscratch[:, :] = jnp.zeros((16, CHUNK), jnp.float32)
+        gscratch[:, :] = jnp.zeros((NROWS, CHUNK), jnp.float32)
         cp = pltpu.make_async_copy(
             gscratch,
             gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
@@ -196,7 +198,7 @@ def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                          tiles8: jnp.ndarray, g_tiles8: jnp.ndarray,
                          tiles_x: int, tiles_y: int,
                          interpret: bool = False) -> jnp.ndarray:
-    """Returns d(attrs_t) [16, P_aligned].
+    """Returns d(attrs_t) [NROWS, P_aligned].
 
     tiles8 / g_tiles8: forward outputs and their upstream grads,
     [num_tiles, 8, PIX] (rows 0-2 rgb, 3 depth, 4 final-T / alpha grads —
@@ -220,15 +222,15 @@ def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, CHUNK), jnp.float32),
-            pltpu.VMEM((16, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((NROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     grads = pl.pallas_call(
         _bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((16, p_aligned), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NROWS, p_aligned), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         input_output_aliases={},

@@ -17,6 +17,10 @@ this kernel:
 
 Packed attribute rows (sublane dim): 0 mean_x, 1 mean_y, 2 conic_a,
 3 conic_b, 4 conic_c, 5 opacity, 6 r, 7 g, 8 b, 9 depth, 10-15 pad.
+(A 10-row layout was tried: Mosaic requires sublane slice sizes to be
+multiples of the (8,128) tiling, so 10-row chunk DMAs do not compile,
+and the measured gather is per-row-overhead-bound — narrower rows only
+bought ~8%. 16 rows stand.)
 Output per tile: [8, 256] = rows (r, g, b, depth, final_T, pad...).
 
 Forward-only: gradients route through the XLA path via ``jax.custom_vjp``
@@ -39,26 +43,51 @@ TILE_W = 16
 PIX = TILE_H * TILE_W  # 256
 CHUNK = 128
 
+# Temporary tuning switches (A/B on real TPU; see PERF.md).
+import os as _os
+_EXCL = _os.environ.get("MV_COMPOSITE_EXCL", "1") == "1"
+_MXU_TSUM = _os.environ.get("MV_COMPOSITE_MXU_TSUM", "1") == "1"
+_CD_SPLIT = _os.environ.get("MV_COMPOSITE_CD_SPLIT", "0") == "1"
+NROWS = 16  # packed attribute rows (see layout above)
 
-def _lane_cumsum(x):
-    """Inclusive cumsum along the lane (last) axis of a [.., CHUNK]
-    block, as a triangular-ones MXU matmul (no cumsum primitive in
-    Mosaic). The operand rides as a manual hi/lo bf16 split — two
-    single-pass bf16 matmuls with f32 accumulation reach ~2^-16
-    relative accuracy at 1/3 the cost of Precision.HIGHEST (Mosaic
-    supports neither HIGH nor f32-input dots without full passes); a
-    Hillis-Steele rotate-scan on the VPU measured *slower* than the
-    MXU matmul on v5e (22.6 vs 18.3 ms for the 1080p composite). The
-    ones matrix is exact in bf16, so only x is split."""
+
+def _lane_cumsum(x, exclusive: bool = False):
+    """Cumsum along the lane (last) axis of a [.., CHUNK] block, as a
+    triangular-ones MXU matmul (no cumsum primitive in Mosaic);
+    ``exclusive`` uses the strictly-lower triangle. The operand rides as
+    a manual hi/lo bf16 split — two single-pass bf16 matmuls with f32
+    accumulation reach ~2^-16 relative accuracy at 1/3 the cost of
+    Precision.HIGHEST (Mosaic supports neither HIGH nor f32-input dots
+    without full passes); a Hillis-Steele rotate-scan on the VPU
+    measured *slower* than the MXU matmul on v5e (22.6 vs 18.3 ms for
+    the 1080p composite). The ones matrix is exact in bf16, so only x
+    is split."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    tri = (rows <= cols).astype(jnp.bfloat16)
+    tri = ((rows < cols) if exclusive else (rows <= cols)).astype(
+        jnp.bfloat16)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def dot(v):
         return jax.lax.dot_general(
             v, tri, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return dot(hi) + dot(lo)
+
+
+def _lane_sum(x):
+    """Sum along the lane axis of a [PIX, CHUNK] block via an MXU dot
+    with a ones column — one pass instead of the VPU's log-step
+    cross-lane reduction."""
+    ones = jnp.ones((CHUNK, 1), jnp.bfloat16)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(v):
+        return jax.lax.dot_general(
+            v, ones, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     return dot(hi) + dot(lo)
@@ -105,7 +134,7 @@ def _kernel(group, tiles_x, starts_ref, counts_ref, attrs_ref, bg_ref,
                 get_dma((i + 1) % 2, i + 1).start()
 
             get_dma(i % 2, i).wait()
-            a = scratch[i % 2]  # [16, CHUNK]
+            a = scratch[i % 2]  # [NROWS, CHUNK]
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
             valid = (i * CHUNK + lane) < count  # [1, CHUNK]
@@ -118,25 +147,47 @@ def _kernel(group, tiles_x, starts_ref, counts_ref, attrs_ref, bg_ref,
             alpha = jnp.where(
                 (alpha >= ALPHA_MIN) & valid & (power <= 0.0), alpha, 0.0)
             logs = jnp.log1p(-alpha)
-            cum = _lane_cumsum(logs)
-            t_out = t_carry * jnp.exp(cum)
-            # T entering splat k = T leaving it / (1 - alpha_k); alpha
-            # is capped at 0.99 so the divide is safe (saves an exp).
-            t_in = t_out / (1.0 - alpha)
+            if _EXCL:
+                # exclusive prefix -> T entering each splat directly
+                cum_ex = _lane_cumsum(logs, exclusive=True)
+                t_in = t_carry * jnp.exp(cum_ex)
+                t_out = t_in * (1.0 - alpha)
+            else:
+                cum = _lane_cumsum(logs)
+                t_out = t_carry * jnp.exp(cum)
+                t_in = t_out / (1.0 - alpha)
             contrib = t_out >= T_STOP
             w = jnp.where(contrib, alpha * t_in, 0.0)  # [PIX, CHUNK]
 
             # [PIX, CHUNK] @ [CHUNK, 4] -> MXU
             cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0).T
-            acc = jax.lax.dot_general(
-                w, cd, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+            if _CD_SPLIT:
+                whi = w.astype(jnp.bfloat16)
+                wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+                cdb = cd.astype(jnp.bfloat16)
+                cdl = (cd - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc = (jax.lax.dot_general(
+                           whi, cdb, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           wlo, cdb, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           whi, cdl, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32))
+            else:
+                acc = jax.lax.dot_general(
+                    w, cd, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
             rgb_acc = rgb_acc + acc[:, :3]
             d_acc = d_acc + acc[:, 3:4]
-            t_next = t_carry * jnp.exp(
-                jnp.sum(jnp.where(contrib, logs, 0.0), axis=1,
-                        keepdims=True))
+            gated = jnp.where(contrib, logs, 0.0)
+            if _MXU_TSUM:
+                t_next = t_carry * jnp.exp(_lane_sum(gated))
+            else:
+                t_next = t_carry * jnp.exp(
+                    jnp.sum(gated, axis=1, keepdims=True))
             return i + 1, t_next, rgb_acc, d_acc
 
         init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
@@ -159,7 +210,7 @@ def _kernel(group, tiles_x, starts_ref, counts_ref, attrs_ref, bg_ref,
 def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                      counts: jnp.ndarray, bg_color: jnp.ndarray,
                      tiles_x: int, tiles_y: int, interpret: bool = False):
-    """attrs_t [16, P] pair-sorted packed attrs; returns [T, 8, PIX]."""
+    """attrs_t [NROWS, P] pair-sorted packed attrs; returns [T, 8, PIX]."""
     num_tiles = tiles_x * tiles_y
     # Batch GROUP tiles per grid step: per-step launch overhead (~2 us)
     # dominates at 1 tile/step (8k steps at 1080p); the fori_loop
@@ -177,7 +228,7 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                                lambda t, txg, *_: (t, txg, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -197,7 +248,7 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
 
 
 def pack_attrs(means2d, conic, opacity, color, depth) -> jnp.ndarray:
-    """Dense per-gaussian attrs -> packed [N, 16] (see row layout above)."""
+    """Dense per-gaussian attrs -> packed [N, NROWS] (row layout above)."""
     n = means2d.shape[0]
     return jnp.concatenate([
         means2d,                       # 0,1
@@ -205,5 +256,5 @@ def pack_attrs(means2d, conic, opacity, color, depth) -> jnp.ndarray:
         opacity[:, None],              # 5
         color,                         # 6,7,8
         depth[:, None],                # 9
-        jnp.zeros((n, 6), jnp.float32),
+        jnp.zeros((n, NROWS - 10), jnp.float32),
     ], axis=1)

@@ -47,13 +47,20 @@ def apply_trainable(state: EngineState, trainable: Dict) -> EngineState:
 
 def make_dp_train_step(eng: SVDEngine, optimizer,
                        ema_decay: Optional[float] = None,
-                       train_label_emb: bool = False):
+                       train_label_emb: bool = False,
+                       use_warp: bool = False):
     """Returns step(state, opt_state, ema, key, latents_b, cond_b).
 
     latents_b [B, T, h, w, 4]; cond_b: dict with leading batch dim B for
     every leaf ([B, T, ...] for per-frame keys, [B, ...] otherwise
     already repeated per frame). ``opt_state``/``ema`` are over the
     trainable_params() tree.
+
+    ``use_warp`` enables the warp-consistency term (reference
+    InpaintDiffusionLoss2): cond_b must then carry ``hit_map``
+    [B, T-1, h, w] and ``uv_ind`` [B, T-1, 4, h*w] (from
+    ``data.svd_dataset.WarpSVDForwardDataset``); they are split off the
+    conditioning dict and routed into ``eng.loss(warp=...)``.
     """
 
     @jax.jit
@@ -64,7 +71,12 @@ def make_dp_train_step(eng: SVDEngine, optimizer,
         def loss_fn(trainable):
             def per_video(k, lat, cond):
                 st = apply_trainable(state, trainable)
-                return eng.loss(st, k, lat, cond)
+                warp = None
+                if use_warp:
+                    cond = dict(cond)
+                    warp = {"hit_map": cond.pop("hit_map"),
+                            "uv_ind": cond.pop("uv_ind")}
+                return eng.loss(st, k, lat, cond, warp=warp)
 
             losses = jax.vmap(per_video)(keys, latents_b, cond_b)
             return jnp.mean(losses)

@@ -40,6 +40,22 @@ def apply_registry(args):
         load_registry_overrides(args.registry)
 
 
+def add_orbit_args(parser: argparse.ArgumentParser):
+    parser.add_argument(
+        "--allow_default_orbit", action="store_true",
+        help="use default OrbitParams (with a warning) when the scene is "
+             "not in the orbit registry, instead of erroring")
+
+
+def resolve_orbit(args, table=None):
+    """Orbit geometry for args.scene_id (reference helpers.py raises on
+    unknown scenes; see registries.get_orbit_params)."""
+    from ..config.registries import get_orbit_params
+    return get_orbit_params(
+        args.scene_id.split("_")[0], table,
+        allow_default=getattr(args, "allow_default_orbit", False))
+
+
 def add_backend_arg(parser: argparse.ArgumentParser):
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "xla", "pallas"],

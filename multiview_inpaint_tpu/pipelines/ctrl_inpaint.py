@@ -52,6 +52,8 @@ def main(argv=None):
     p.add_argument("--context_dim", type=int, default=768,
                    help="768 for SD-1.5, 1024 for SD-2")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="debug-size UNet/ControlNet/VAE for smoke tests")
     args = p.parse_args(argv)
 
     ws = Workspace(args.workspace, args.inpaint_root)
@@ -65,10 +67,18 @@ def main(argv=None):
                                 (args.size, args.size))
     text_embs = jnp.asarray(np.load(args.text_embs))
 
-    cfg2d = UNet2DConfig(context_dim=args.context_dim)
+    if args.tiny:
+        cfg2d = UNet2DConfig(model_channels=32, num_res_blocks=1,
+                             attention_resolutions=(1,),
+                             channel_mult=(1, 2), num_head_channels=16,
+                             context_dim=args.context_dim)
+        vae_cfg = VAEConfig(ch=16, ch_mult=(1, 2, 4, 4), num_res_blocks=1)
+    else:
+        cfg2d = UNet2DConfig(context_dim=args.context_dim)
+        vae_cfg = VAEConfig()
     unet = UNet2D(cfg2d)
     cnet = ControlNet2D(cfg2d)
-    vae = AutoencoderKL(VAEConfig(), video_decoder=False)
+    vae = AutoencoderKL(vae_cfg, video_decoder=False)
     key = jax.random.key(args.seed)
     s = args.size // 8
     up = unet.init(key, jnp.zeros((1, s, s, 9)), jnp.zeros((1,)),

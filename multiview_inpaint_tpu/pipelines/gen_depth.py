@@ -26,7 +26,6 @@ import shutil
 
 import numpy as np
 
-from ..config.registries import ORBIT_PARAMS
 from ..gs import gaussians as g_mod
 from ..gs import obb as obb_mod
 from ..gs import scene_io
@@ -51,8 +50,11 @@ def main(argv=None):
     parser.add_argument("--workspace", default=".")
     parser.add_argument("--inpaint_root", default="inpaint")
     common.add_backend_arg(parser)
+    common.add_orbit_args(parser)
     args = parser.parse_args(argv)
     common.apply_registry(args)
+    # fail fast on unknown scene ids (reference raises KeyError)
+    orbit = common.resolve_orbit(args)
 
     ws = Workspace(args.workspace, args.inpaint_root)
     if args.from_est:
@@ -73,10 +75,9 @@ def main(argv=None):
     scene = Scene(args.source_path, args.model_path,
                   resolution=args.resolution, max_sh_degree=args.sh_degree,
                   shuffle=False, load_iteration=None, workspace=ws,
-                  capacity=16)
+                  load_gaussians=False)
     scene.scene_name = args.scene_id
     box = obb_mod.load_obb(ws.bds_add(args.scene_id))
-    orbit = ORBIT_PARAMS.get(args.scene_id.split("_")[0])
     front = scene.front_view()
     bg = common.default_background(args.white_background)
     import jax.numpy as jnp

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config.registries import ORBIT_PARAMS
 from ..gs import obb as obb_mod
 from ..gs import scene_io
 from ..gs.cameras import get_rays
@@ -91,8 +90,11 @@ def main(argv=None):
                              "(reads output_sds, writes inpaint_sds)")
     parser.add_argument("--max_per_tile", type=int, default=1024)
     common.add_backend_arg(parser)
+    common.add_orbit_args(parser)
     args = parser.parse_args(argv)
     common.apply_registry(args)
+    # fail fast on unknown scene ids (reference raises KeyError)
+    orbit = common.resolve_orbit(args)
 
     ws = Workspace(args.workspace, args.inpaint_root)
     scene = Scene(args.source_path, args.model_path,
@@ -103,8 +105,6 @@ def main(argv=None):
     scene.scene_name = args.scene_id
     iteration = scene.loaded_iteration or args.iteration
     box = obb_mod.load_obb(ws.bds_add(args.scene_id))
-    actual_scene = args.scene_id.split("_")[0]
-    orbit = ORBIT_PARAMS.get(actual_scene)
     bg = common.default_background(args.white_background)
     backend = common.resolve_backend(args.backend)
     front = scene.front_view()

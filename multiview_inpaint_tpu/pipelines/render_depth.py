@@ -14,7 +14,6 @@ import os
 
 import numpy as np
 
-from ..config.registries import ORBIT_PARAMS
 from ..gs import obb as obb_mod
 from ..gs import scene_io
 from ..gs.scene import Scene, Workspace, orbit_cameras
@@ -34,8 +33,11 @@ def main(argv=None):
     parser.add_argument("--modes", nargs="+", default=["x1", "x2"])
     parser.add_argument("--frames", type=int, default=14)
     common.add_backend_arg(parser)
+    common.add_orbit_args(parser)
     args = parser.parse_args(argv)
     common.apply_registry(args)
+    # fail fast on unknown scene ids (reference raises KeyError)
+    orbit = common.resolve_orbit(args)
 
     ws = Workspace(args.workspace, args.inpaint_root)
     scene = Scene(args.source_path, args.model_path,
@@ -45,7 +47,6 @@ def main(argv=None):
     scene.scene_name = args.scene_id
     iteration = scene.loaded_iteration or args.iteration
     box = obb_mod.load_obb(ws.bds_add(args.scene_id))
-    orbit = ORBIT_PARAMS.get(args.scene_id.split("_")[0])
     bg = common.default_background(args.white_background)
     front = scene.front_view()
 

@@ -81,12 +81,16 @@ def main(argv=None):
         inp = ws.inpainted_dir(args.scene_id, args.ctrl_id, mode)
         for i in range(args.frames):
             v = f"{i:02d}"
-            render = scene_io.load_image(os.path.join(seq, "renders",
-                                                      f"{v}.png"))
             inpainted = scene_io.load_image(os.path.join(inp, f"{v}.png"))
+            # renders/box masks are at gen_seq's (SVD input) resolution;
+            # compare at the inpainted frames' resolution
+            res = (inpainted.shape[1], inpainted.shape[0])
+            render = scene_io.load_image(os.path.join(seq, "renders",
+                                                      f"{v}.png"),
+                                         resolution=res)
             box = scene_io.load_image(os.path.join(seq, "mask",
                                                    f"{v}.png"),
-                                      grayscale=True)
+                                      resolution=res, grayscale=True)
             diff = np.abs(inpainted - render).mean(axis=-1)
             mask = ((diff > args.threshold) & (box > 0.5)).astype(
                 np.float32)

@@ -13,7 +13,14 @@ reference's "melk" handler) plus SIGUSR1 on demand.
         --data_root <dst14_est_forward60_2k> --logdir logs/simp1 \
         [--epochs 50] [--lr 1e-4] [--batch_size N] [--ema] \
         [--accumulate 1] [--schedule constant|linear|warmup_cosine] \
-        [--warp_loss --meta_k K.json]
+        [--warp_loss] [--mask_shrink_k 0.4] [--pose_cond]
+
+``--warp_loss`` switches to ``WarpSVDForwardDataset`` (scenes with
+depth + poses.npy + metadata K) and adds the InpaintDiffusionLoss2
+warp-consistency term (reference loss.py:233-376). ``--mask_shrink_k``
+enables the random mask-shrink augmentation; ``--pose_cond`` appends
+SV3D-style azimuth/polar/radius fourier embeddings to the vector cond
+(requires poses.npy per scene and a matching adm_in_channels).
 """
 
 from __future__ import annotations
@@ -27,7 +34,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-from ..data.svd_dataset import EstSVDForwardDataset, epoch_iterator
+from ..data.svd_dataset import (EstSVDForwardDataset,
+                                WarpSVDForwardDataset, epoch_iterator)
 from ..diffusion import checkpoint as ckpt
 from ..diffusion.engine import EngineConfig, SVDEngine, init_engine
 from ..parallel import make_mesh
@@ -38,7 +46,15 @@ from ..parallel.svd_data_parallel import (build_optimizer,
 from ..utils.logging import RunLogger
 
 
+POSE_KEYS = ("polars_rad", "azimuths_rad", "rad")
+
+
 def _engine_config(args) -> EngineConfig:
+    vector_keys = ("fps_id", "motion_bucket_id", "cond_aug")
+    if getattr(args, "pose_cond", False):
+        vector_keys = vector_keys + POSE_KEYS
+    adm = 256 * len(vector_keys)
+    hint_channels = 3 if getattr(args, "warp_loss", False) else 7
     if args.tiny_model:
         import dataclasses as _dc
 
@@ -49,12 +65,17 @@ def _engine_config(args) -> EngineConfig:
             unet=UNetConfig(model_channels=32, num_res_blocks=1,
                             attention_resolutions=(1,),
                             channel_mult=(1, 2), num_head_channels=16,
-                            context_dim=16),
+                            context_dim=16, adm_in_channels=adm),
             vae=VAEConfig(ch=16, ch_mult=(1, 2, 4, 4), num_res_blocks=1),
             vit=_dc.replace(TINY_VIT, output_dim=16),
-            num_frames=args.num_frames)
+            num_frames=args.num_frames, vector_keys=vector_keys,
+            hint_channels=hint_channels)
+    from ..diffusion.unet import UNetConfig
     return EngineConfig(num_frames=args.num_frames,
-                    compute_dtype=args.compute_dtype)
+                        compute_dtype=args.compute_dtype,
+                        unet=UNetConfig(adm_in_channels=adm),
+                        vector_keys=vector_keys,
+                        hint_channels=hint_channels)
 
 
 def train(args):
@@ -89,9 +110,16 @@ def train(args):
         state = dataclasses.replace(
             state, controlnet=ckpt.load_params(args.resume))
 
-    ds = EstSVDForwardDataset(args.data_root, size=args.size,
-                              num_frames=args.num_frames,
-                              cond_aug=args.cond_aug)
+    if args.warp_loss:
+        ds = WarpSVDForwardDataset(
+            args.data_root, size=args.size, num_frames=args.num_frames,
+            cond_aug=args.cond_aug, train=True,
+            mask_shrink_k=args.mask_shrink_k or 0.4)
+    else:
+        ds = EstSVDForwardDataset(
+            args.data_root, size=args.size, num_frames=args.num_frames,
+            cond_aug=args.cond_aug, mask_shrink_k=args.mask_shrink_k,
+            pose_cond=args.pose_cond)
     steps_per_epoch = max(1, len(ds) // args.batch_size)
     optimizer = build_optimizer(args.lr, args.schedule, args.warmup_steps,
                                 steps_per_epoch * args.epochs,
@@ -100,7 +128,7 @@ def train(args):
     opt_state = optimizer.init(trainable)
     step_fn = make_dp_train_step(
         eng, optimizer, ema_decay=(args.ema_decay if args.ema else None),
-        train_label_emb=args.train_label_emb)
+        train_label_emb=args.train_label_emb, use_warp=args.warp_loss)
     ema = trainable
 
     mesh = make_mesh(min(args.devices or len(jax.devices()),
@@ -134,6 +162,9 @@ def train(args):
             latents = eng.encode_first_stage(state, bj["jpg"],
                                              sample_key=key_l)
             cond = eng.prepare_cond(state, bj, key=key_l)
+            if args.warp_loss:
+                cond["hit_map"] = bj["hit_map"]
+                cond["uv_ind"] = bj["uv_ind"]
             lat.append(latents)
             conds.append(cond)
         latents_b = jnp.stack(lat)
@@ -236,6 +267,15 @@ def main(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--tiny_model", action="store_true",
                    help="debug-size model for smoke tests")
+    p.add_argument("--warp_loss", action="store_true",
+                   help="warp-consistency training over depth+pose "
+                        "scenes (InpaintDiffusionLoss2 parity)")
+    p.add_argument("--mask_shrink_k", type=float, default=0.0,
+                   help="random mask-shrink augmentation strength "
+                        "(reference process_mask k_max; 0 = off)")
+    p.add_argument("--pose_cond", action="store_true",
+                   help="append azimuth/polar/radius fourier embeddings "
+                        "to the vector cond (needs poses.npy per scene)")
     train(p.parse_args(argv))
 
 

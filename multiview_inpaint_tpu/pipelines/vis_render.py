@@ -49,7 +49,7 @@ def main(argv=None):
     scene = Scene(args.source_path, args.model_path,
                   resolution=args.resolution, max_sh_degree=args.sh_degree,
                   shuffle=False, load_iteration=None, workspace=ws,
-                  capacity=16)
+                  load_gaussians=False)
     scene.scene_name = args.scene_id
     box = obb_mod.load_obb(ws.bds_add(args.scene_id))
     vis = VIS_PARAMS.get(args.scene_id.split("_")[0], OrbitParams())

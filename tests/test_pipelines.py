@@ -112,7 +112,8 @@ def test_gen_seq_cli(workspace, tmp_path):
     gen_seq.main(["-s", workspace["src"], "-m", workspace["model"],
                   "--scene_id", "toy_case", "--resolution", "1",
                   "--iteration", "60", "--workspace", ws_root,
-                  "--frames", "4", "--max_per_tile", "256"])
+                  "--frames", "4", "--max_per_tile", "256",
+                  "--allow_default_orbit"])
     for mode in ("x1", "x2"):
         d = os.path.join(ws_root, "inpaint", "seq", "toy_case", mode,
                          "ours_60")
@@ -139,7 +140,8 @@ def test_render_depth_cli(workspace):
     render_depth.main(["-s", workspace["src"], "-m", workspace["model"],
                        "--scene_id", "toy_case", "--resolution", "1",
                        "--iteration", "60", "--workspace", ws_root,
-                       "--frames", "2", "--modes", "x1"])
+                       "--frames", "2", "--modes", "x1",
+                       "--allow_default_orbit"])
     d = os.path.join(ws_root, "inpaint", "seq", "toy_case", "x1",
                      "ours_60", "disp")
     assert len(os.listdir(d)) == 2

@@ -274,3 +274,57 @@ def test_render_views_matches_individual():
                                    np.asarray(one.rgb), atol=1e-6)
         np.testing.assert_allclose(np.asarray(outs.depth[i]),
                                    np.asarray(one.depth), atol=1e-5)
+
+
+def test_projection_matches_ewa_oracle():
+    """The scalarized projection must match the textbook EWA chain
+    J W Sigma W^T J^T (the reference's computeCov2D) computed in numpy."""
+    import numpy as np
+
+    from multiview_inpaint_tpu.ops.rasterizer import geometry
+    from multiview_inpaint_tpu.utils.quaternion import (
+        covariance_from_scaling_rotation)
+
+    rng = np.random.default_rng(7)
+    n = 64
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz[:, 2] += 4.0
+    scaling = np.exp(rng.normal(size=(n, 3)).astype(np.float32) * 0.3 - 2)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    opacity = rng.uniform(0.2, 0.9, n).astype(np.float32)
+    feat = rng.normal(size=(n, 1, 3)).astype(np.float32)
+    wv = np.eye(4, dtype=np.float32)
+    wv[:3, 3] = [0.1, -0.2, 0.3]
+    tan_fovx, tan_fovy, width, height = 0.8, 0.6, 160, 120
+    # full projection matrix (any [4,4] works for the mean check)
+    proj = np.diag([1 / tan_fovx, 1 / tan_fovy, 1.001, 0]).astype(
+        np.float32)
+    proj[3, 2] = 1.0
+    full = proj @ wv
+
+    out = geometry.project_gaussians(
+        jnp.asarray(xyz), jnp.asarray(feat), jnp.asarray(opacity),
+        jnp.asarray(scaling), jnp.asarray(q),
+        jnp.ones((n,), bool), jnp.asarray(wv), jnp.asarray(full),
+        jnp.zeros(3), tan_fovx, tan_fovy, width, height, 0)
+
+    # numpy oracle of the original matrix chain
+    t = xyz @ wv[:3, :3].T + wv[:3, 3]
+    tz = t[:, 2]
+    cov3d = np.asarray(covariance_from_scaling_rotation(
+        jnp.asarray(scaling), jnp.asarray(q)))
+    fx, fy = width / (2 * tan_fovx), height / (2 * tan_fovy)
+    limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
+    txz = np.clip(t[:, 0] / tz, -limx, limx) * tz
+    tyz = np.clip(t[:, 1] / tz, -limy, limy) * tz
+    conic_ref = np.zeros((n, 3))
+    for i in range(n):
+        J = np.array([[fx / tz[i], 0, -fx * txz[i] / tz[i] ** 2],
+                      [0, fy / tz[i], -fy * tyz[i] / tz[i] ** 2]])
+        M = J @ wv[:3, :3]
+        c2 = M @ cov3d[i] @ M.T
+        a, b, c = c2[0, 0] + 0.3, c2[0, 1], c2[1, 1] + 0.3
+        det = a * c - b * b
+        conic_ref[i] = [c / det, -b / det, a / det]
+    np.testing.assert_allclose(np.asarray(out.conic), conic_ref,
+                               rtol=5e-3, atol=5e-4)

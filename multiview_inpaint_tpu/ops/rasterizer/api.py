@@ -169,7 +169,8 @@ def render(params: GaussianParams, camera: RenderCamera,
         aligned_chunk=(pallas_composite.CHUNK if backend == "pallas"
                        else 0),
         extent=jax.lax.stop_gradient(proj.extent),
-        pad_budget=pad_budget)
+        pad_budget=pad_budget,
+        expand_kernel=(backend == "pallas"), interpret=interpret)
 
     if backend == "pallas":
         if (tile_h, tile_w) != (pallas_composite.TILE_H,

@@ -60,6 +60,28 @@ def _delta(v):
     return jnp.diff(jnp.concatenate([jnp.zeros((1,), v.dtype), v]))
 
 
+def _expand_slots(starts, x0, y0, rect_w, total, n, tiles_x, num_tiles,
+                  pair_budget):
+    """XLA pair expansion via delta-scatter + blocked cumsum; returns
+    per-slot (gid, tile, invalid)."""
+    slots = jnp.arange(pair_budget, dtype=jnp.int32)
+    deltas = jnp.stack([jnp.ones((n,), jnp.int32), _delta(starts),
+                        _delta(x0), _delta(y0), _delta(rect_w)],
+                       axis=1)  # [N, 5]
+    carried = _blocked_cumsum(
+        jnp.zeros((pair_budget, deltas.shape[1]), jnp.int32
+                  ).at[starts].add(deltas, mode="drop"))
+    gid_c = jnp.clip(carried[:, 0] - 1, 0, n - 1)
+    local = slots - carried[:, 1]
+    w = jnp.maximum(carried[:, 4], 1)
+    tx = carried[:, 2] + local % w
+    ty = carried[:, 3] + local // w
+    tile = ty * tiles_x + tx
+    invalid = slots >= total
+    tile = jnp.where(invalid, num_tiles, tile).astype(jnp.int32)
+    return gid_c, tile, invalid
+
+
 def _blocked_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive cumsum over axis 0 of an int32 [P, C] array, computed
     as 128-row blocks x a triangular-ones matmul on the MXU plus a tiny
@@ -91,7 +113,9 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   max_per_tile: int, gather_ids: bool = True,
                   aligned_chunk: int = 0,
                   extent: jnp.ndarray | None = None,
-                  pad_budget: int | None = None) -> TileBins:
+                  pad_budget: int | None = None,
+                  expand_kernel: bool = False,
+                  interpret: bool = False) -> TileBins:
     """``aligned_chunk`` > 0 lays the sorted pairs out so every tile's
     segment starts at a chunk-aligned offset (Mosaic-provable DMA slices
     for the Pallas kernel); ``gid_sorted`` then has length
@@ -146,33 +170,37 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     starts = ends - count
     total = ends[-1] if n > 0 else jnp.int32(0)
 
-    # Pair slot j belongs to gaussian i = last index with starts[i] <= j.
-    # ONE small scatter of per-gaussian deltas at the segment starts +
-    # cumsums over the slot axis reconstructs every per-slot value
-    # (duplicate starts from count-0 gaussians accumulate their deltas,
-    # which telescopes to the correct next value).
-    slots = jnp.arange(pair_budget, dtype=jnp.int32)
-    deltas = jnp.stack([jnp.ones((n,), jnp.int32), _delta(starts),
-                        _delta(x0), _delta(y0), _delta(rect_w)],
-                       axis=1)  # [N, 5]
-    carried = _blocked_cumsum(
-        jnp.zeros((pair_budget, deltas.shape[1]), jnp.int32
-                  ).at[starts].add(deltas, mode="drop"))
-    gid_c = jnp.clip(carried[:, 0] - 1, 0, n - 1)
-    local = slots - carried[:, 1]
-    sx0 = carried[:, 2]
-    sy0 = carried[:, 3]
-    w = jnp.maximum(carried[:, 4], 1)
-    tx = sx0 + local % w
-    ty = sy0 + local // w
-    tile = ty * tiles_x + tx
-    invalid = slots >= total
-    tile = jnp.where(invalid, num_tiles, tile).astype(jnp.int32)
+    if expand_kernel and packed_ok:
+        # Pallas expansion: compact the count>0 gaussians to the front
+        # (stable over the depth order, so compact index is still a
+        # depth rank) so starts are strictly increasing, then emit the
+        # packed per-slot keys with the windowed-matmul kernel — the
+        # delta-scatter below serializes per row on TPU (4.4 ms at
+        # 1080p) while the kernel streams (see pair_expand.py).
+        from .pair_expand import expand_keys
 
-    if packed_ok:
-        key = jnp.where(invalid, _INT_MAX, (tile << gid_bits) | gid_c)
+        perm2 = jnp.argsort((count == 0).astype(jnp.int32), stable=True)
+        count_c = count[perm2]
+        active_c = count_c > 0
+        ends_c = jnp.cumsum(count_c)
+        starts_c = (ends_c - count_c).astype(jnp.int32)
+        key = expand_keys(starts_c, x0[perm2], y0[perm2], rect_w[perm2],
+                          active_c, total, n, gid_bits, tiles_x,
+                          pair_budget, interpret=interpret)
+        order = order[perm2]
     else:
-        key = None
+        # Pair slot j belongs to gaussian i = last index with
+        # starts[i] <= j. ONE small scatter of per-gaussian deltas at the
+        # segment starts + cumsums over the slot axis reconstructs every
+        # per-slot value (duplicate starts from count-0 gaussians
+        # accumulate their deltas, which telescopes correctly).
+        gid_c, tile, invalid = _expand_slots(
+            starts, x0, y0, rect_w, total, n, tiles_x, num_tiles,
+            pair_budget)
+        if packed_ok:
+            key = jnp.where(invalid, _INT_MAX, (tile << gid_bits) | gid_c)
+        else:
+            key = None
 
     if aligned_chunk and packed_ok:
         if pad_budget is None:

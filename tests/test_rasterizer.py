@@ -328,3 +328,36 @@ def test_projection_matches_ewa_oracle():
         conic_ref[i] = [c / det, -b / det, a / det]
     np.testing.assert_allclose(np.asarray(out.conic), conic_ref,
                                rtol=5e-3, atol=5e-4)
+
+
+def test_expand_kernel_matches_xla_expansion():
+    """The Pallas pair-expansion kernel (compact-rank keys) must produce
+    the same per-tile pair streams as the XLA delta-scatter telescoping
+    (depth-rank keys) once both are mapped back to original ids."""
+    import numpy as np
+
+    from multiview_inpaint_tpu.ops.rasterizer import binning
+
+    rng = np.random.default_rng(3)
+    n = 300
+    means2d = jnp.asarray(rng.uniform(-10, 70, (n, 2)), jnp.float32)
+    radius = jnp.asarray(rng.integers(0, 9, n), jnp.int32)  # some culled
+    depth = jnp.asarray(rng.uniform(0.5, 9.0, n), jnp.float32)
+    kw = dict(tiles_x=4, tiles_y=3, tile_w=16, tile_h=16,
+              pair_budget=2048, max_per_tile=64, gather_ids=False,
+              aligned_chunk=128)
+    a = binning.bin_gaussians(means2d, radius, depth, **kw)
+    b = binning.bin_gaussians(means2d, radius, depth, **kw,
+                              expand_kernel=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a.counts),
+                                  np.asarray(b.counts))
+    np.testing.assert_array_equal(np.asarray(a.seg_start),
+                                  np.asarray(b.seg_start))
+    assert int(a.total_pairs) == int(b.total_pairs) > 0
+
+    def mapped(bins):
+        g = np.asarray(bins.gid_sorted)
+        o = np.asarray(bins.order)
+        return np.where(g == n, n, o[np.clip(g, 0, n - 1)])
+
+    np.testing.assert_array_equal(mapped(a), mapped(b))

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .composite import ALPHA_MIN, DEPTH_EMPTY, T_STOP
 from .pallas_composite import (CHUNK, NROWS, PIX, TILE_H, TILE_W,
-                               _lane_cumsum, _lane_sum)
+                               _lane_cumsum)
 
 
 def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
@@ -168,8 +168,8 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         cp.wait()
 
         t_next = t_carry * jnp.exp(
-            _lane_sum(jnp.where(contrib, logs, 0.0)))
-        prefix_next = prefix + _lane_sum(wA)
+            jnp.sum(jnp.where(contrib, logs, 0.0), axis=1, keepdims=True))
+        prefix_next = prefix + jnp.sum(wA, axis=1, keepdims=True)
         return i + 1, t_next, prefix_next
 
     init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),

@@ -42,12 +42,6 @@ TILE_H = 16
 TILE_W = 16
 PIX = TILE_H * TILE_W  # 256
 CHUNK = 128
-
-# Temporary tuning switches (A/B on real TPU; see PERF.md).
-import os as _os
-_EXCL = _os.environ.get("MV_COMPOSITE_EXCL", "1") == "1"
-_MXU_TSUM = _os.environ.get("MV_COMPOSITE_MXU_TSUM", "1") == "1"
-_CD_SPLIT = _os.environ.get("MV_COMPOSITE_CD_SPLIT", "0") == "1"
 NROWS = 16  # packed attribute rows (see layout above)
 
 
@@ -72,22 +66,6 @@ def _lane_cumsum(x, exclusive: bool = False):
     def dot(v):
         return jax.lax.dot_general(
             v, tri, (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    return dot(hi) + dot(lo)
-
-
-def _lane_sum(x):
-    """Sum along the lane axis of a [PIX, CHUNK] block via an MXU dot
-    with a ones column — one pass instead of the VPU's log-step
-    cross-lane reduction."""
-    ones = jnp.ones((CHUNK, 1), jnp.bfloat16)
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def dot(v):
-        return jax.lax.dot_general(
-            v, ones, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     return dot(hi) + dot(lo)
@@ -147,47 +125,40 @@ def _kernel(group, tiles_x, starts_ref, counts_ref, attrs_ref, bg_ref,
             alpha = jnp.where(
                 (alpha >= ALPHA_MIN) & valid & (power <= 0.0), alpha, 0.0)
             logs = jnp.log1p(-alpha)
-            if _EXCL:
-                # exclusive prefix -> T entering each splat directly
-                cum_ex = _lane_cumsum(logs, exclusive=True)
-                t_in = t_carry * jnp.exp(cum_ex)
-                t_out = t_in * (1.0 - alpha)
-            else:
-                cum = _lane_cumsum(logs)
-                t_out = t_carry * jnp.exp(cum)
-                t_in = t_out / (1.0 - alpha)
+            # exclusive prefix -> T entering each splat directly; the
+            # inclusive-prefix + divide variant measured 0.5 ms/frame
+            # slower at 1080p (A/B, PERF.md)
+            cum_ex = _lane_cumsum(logs, exclusive=True)
+            t_in = t_carry * jnp.exp(cum_ex)
+            t_out = t_in * (1.0 - alpha)
             contrib = t_out >= T_STOP
             w = jnp.where(contrib, alpha * t_in, 0.0)  # [PIX, CHUNK]
 
-            # [PIX, CHUNK] @ [CHUNK, 4] -> MXU
+            # [PIX, CHUNK] @ [CHUNK, 4] -> MXU. Manual 3-pass hi/lo
+            # bf16 split: Precision.HIGHEST costs 6 full passes and
+            # measured 1.3 ms/frame slower at 1080p (A/B, PERF.md);
+            # the split keeps ~2^-16 relative accuracy.
             cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0).T
-            if _CD_SPLIT:
-                whi = w.astype(jnp.bfloat16)
-                wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
-                cdb = cd.astype(jnp.bfloat16)
-                cdl = (cd - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
-                acc = (jax.lax.dot_general(
-                           whi, cdb, (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
-                       + jax.lax.dot_general(
-                           wlo, cdb, (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
-                       + jax.lax.dot_general(
-                           whi, cdl, (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32))
-            else:
-                acc = jax.lax.dot_general(
-                    w, cd, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+            whi = w.astype(jnp.bfloat16)
+            wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+            cdb = cd.astype(jnp.bfloat16)
+            cdl = (cd - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = (jax.lax.dot_general(
+                       whi, cdb, (((1,), (0,)), ((), ())),
+                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(
+                       wlo, cdb, (((1,), (0,)), ((), ())),
+                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(
+                       whi, cdl, (((1,), (0,)), ((), ())),
+                       preferred_element_type=jnp.float32))
             rgb_acc = rgb_acc + acc[:, :3]
             d_acc = d_acc + acc[:, 3:4]
-            gated = jnp.where(contrib, logs, 0.0)
-            if _MXU_TSUM:
-                t_next = t_carry * jnp.exp(_lane_sum(gated))
-            else:
-                t_next = t_carry * jnp.exp(
-                    jnp.sum(gated, axis=1, keepdims=True))
+            # VPU lane reduce: an MXU ones-column dot here measured a
+            # 4 ms/frame REGRESSION (small-N matmuls stall the pipe).
+            t_next = t_carry * jnp.exp(
+                jnp.sum(jnp.where(contrib, logs, 0.0), axis=1,
+                        keepdims=True))
             return i + 1, t_next, rgb_acc, d_acc
 
         init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),

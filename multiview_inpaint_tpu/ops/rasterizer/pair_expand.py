@@ -42,6 +42,18 @@ BIG = 3.0e7      # sentinel start: beyond any slot index, f32-exact enough
 INT_MAX = 2 ** 31 - 1  # python int: jnp constants would be captured consts
 
 
+def _split3(x):
+    """Exact 3-way bf16 split of integer-valued f32 (< 2^23): x = a+b+c
+    with every term bf16-representable — three single-pass MXU matmuls
+    reconstruct the exact integer dot (f32 accumulation), at half the
+    cost of Precision.HIGHEST's six passes."""
+    a = x.astype(jnp.bfloat16)
+    r1 = x - a.astype(jnp.float32)
+    b = r1.astype(jnp.bfloat16)
+    c = (r1 - b.astype(jnp.float32)).astype(jnp.bfloat16)
+    return a, b, c
+
+
 def _kernel(gid_bits, tiles_x, g0r_ref, total_ref, base_ref, table_ref,
             out_ref, scratch, sems):
     step = pl.program_id(0)
@@ -64,17 +76,23 @@ def _kernel(gid_bits, tiles_x, g0r_ref, total_ref, base_ref, table_ref,
             get_dma(g + 1).start()
 
         get_dma(g).wait()
-        tab = scratch[g % 2]                       # [K, 8] f32
+        tab = scratch[g % 2]                       # [K, 128] f32
 
         # slots of this block along lanes
         j = (blk * B + jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
              ).astype(jnp.float32)                 # [1, B]
-        ind = (tab[:, 0:1] <= j).astype(jnp.float32)   # [K, B]
-        # [8, B] = delta-table^T @ indicator  (exact in f32 HIGHEST)
-        vals = jax.lax.dot_general(
-            tab, ind, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        ind = (tab[:, 0:1] <= j).astype(jnp.bfloat16)  # [K, B]
+        # [128, B] = table^T @ indicator; channels ride lanes 0..7 of
+        # the 128-lane rows (Mosaic requires full-lane-width DMAs), so
+        # the dot computes 120 zero rows alongside — still cheap.
+        t1, t2, t3 = _split3(tab)
+
+        def dot(lhs):
+            return jax.lax.dot_general(
+                lhs, ind, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        vals = dot(t1) + dot(t2) + dot(t3)
         starts = vals[1:2, :] + base_ref[blk, 1]
         x0 = vals[2:3, :] + base_ref[blk, 2]
         y0 = vals[3:4, :] + base_ref[blk, 3]
@@ -130,22 +148,21 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
         return jnp.diff(jnp.concatenate([jnp.zeros((1,), jnp.float32),
                                          vf]))
 
-    # table rows: [starts_value, d_starts, d_x0, d_y0, d_w, d_cnt, 0, 0]
-    table = jnp.stack([
+    # table lanes: [starts_value, d_starts, d_x0, d_y0, d_w, d_cnt] in
+    # lanes 0..5 of 128-lane rows (Mosaic DMA slices must span the full
+    # lane tile; sublane offsets only need 8-alignment)
+    chans = jnp.stack([
         starts_f,
         delta(starts_c),
         delta(x0_c),
         delta(y0_c),
         delta(w_c),
         active_c.astype(jnp.float32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
-    ], axis=1)                                        # [N, 8]
-    # window pad rows (never fire: start BIG, zero deltas), plus rounding
-    # the row count to the DMA tiling
-    n_pad = -(-(n + K) // 8) * 8 - n
-    pad_rows = jnp.zeros((n_pad, 8), jnp.float32).at[:, 0].set(BIG)
-    table = jnp.concatenate([table, pad_rows], axis=0)
+    ], axis=1)                                        # [N, 6]
+    rows = -(-(n + K) // 8) * 8
+    table = jnp.zeros((rows, 128), jnp.float32)
+    table = table.at[:, 0].set(BIG)  # pad rows never fire
+    table = table.at[:n, :6].set(chans)
 
     # per-block first-gaussian window origin (8-aligned)
     block_starts = jnp.arange(nb_pad, dtype=jnp.int32) * B
@@ -179,7 +196,7 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
         out_specs=pl.BlockSpec((GROUP, B), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, K, 8), jnp.float32),
+            pltpu.VMEM((2, K, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

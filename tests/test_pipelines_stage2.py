@@ -415,3 +415,63 @@ def test_ctrl_inpaint_cli(ws2, tmp_path):
     ])
     out = os.path.join(ws2["root"], "inpaint", "ctrl", "toy_case")
     assert os.path.exists(os.path.join(out, "ctrl_0.png"))
+
+
+def test_auto_segmentation_quality_vs_ground_truth(tmp_path):
+    """The native difference segmenter (seg_masks --auto) must recover
+    the true object silhouette on a controlled scene: render a
+    background, composite a known object over it inside the box mask,
+    and compare the produced sam_mask against the object's true alpha
+    (IoU). Validates the fallback the reference replaces with
+    GroundingDINO+SAM (seg_gs.py:94-160)."""
+    import jax.numpy as jnp
+
+    from multiview_inpaint_tpu.gs.cameras import make_camera
+    from multiview_inpaint_tpu.ops.rasterizer import RenderCamera, render
+    from multiview_inpaint_tpu.utils.synthetic import make_gt_gaussians
+
+    root = str(tmp_path)
+    h, w = 48, 64
+    bg_params = make_gt_gaussians(seed=1, spread=0.9)
+    obj = make_gt_gaussians(n=12, seed=2, spread=0.15)
+    cam = make_camera(0, np.eye(3), np.array([0.0, 0.0, 3.0]),
+                      fovx=0.9, fovy=0.7, width=w, height=h)
+    rcam = RenderCamera.from_camera(cam)
+    bgc = jnp.zeros(3)
+    bg_out = render(bg_params, rcam, bgc, max_per_tile=256,
+                    pair_budget=8 * bg_params.capacity)
+    obj_out = render(obj, rcam, bgc, max_per_tile=256,
+                     pair_budget=8 * obj.capacity)
+    alpha = np.asarray(obj_out.alpha)
+    true_mask = (alpha > 0.5).astype(np.float32)
+    assert true_mask.sum() > 40  # the object is visibly there
+    composited = (np.asarray(obj_out.rgb)
+                  + np.asarray(bg_out.rgb) * (1 - alpha[..., None]))
+
+    seq = os.path.join(root, "inpaint", "seq", "sc_case", "x1",
+                       "ours_7")
+    inp = os.path.join(root, "inpaint", "inpainted", "sc_case", "ctrl_0",
+                       "x1")
+    os.makedirs(os.path.join(seq, "renders"))
+    os.makedirs(os.path.join(seq, "mask"))
+    os.makedirs(inp)
+    box = np.zeros((h, w), np.float32)
+    ys, xs = np.where(true_mask > 0)
+    box[max(0, ys.min() - 4):ys.max() + 5,
+        max(0, xs.min() - 4):xs.max() + 5] = 1.0  # loose box mask
+    for i in range(2):
+        v = f"{i:02d}"
+        scene_io.save_image(os.path.join(seq, "renders", f"{v}.png"),
+                            np.asarray(bg_out.rgb))
+        scene_io.save_image(os.path.join(seq, "mask", f"{v}.png"), box)
+        scene_io.save_image(os.path.join(inp, f"{v}.png"), composited)
+
+    seg_masks.main(["--scene_id", "sc_case", "--ctrl_id", "0",
+                    "--modes", "x1", "--frames", "2", "--iteration", "7",
+                    "--auto", "--workspace", root])
+    got = scene_io.load_image(
+        os.path.join(root, "inpaint", "sam_mask", "sc_case", "ctrl_0",
+                     "x1", "00.png"), grayscale=True) > 0.5
+    inter = float(np.logical_and(got, true_mask > 0).sum())
+    union = float(np.logical_or(got, true_mask > 0).sum())
+    assert inter / union > 0.6, f"IoU {inter / union:.2f}"

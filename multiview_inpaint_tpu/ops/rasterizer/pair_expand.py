@@ -93,11 +93,11 @@ def _kernel(gid_bits, tiles_x, g0r_ref, total_ref, base_ref, table_ref,
                 preferred_element_type=jnp.float32)
 
         vals = dot(t1) + dot(t2) + dot(t3)
-        starts = vals[1:2, :] + base_ref[blk, 1]
-        x0 = vals[2:3, :] + base_ref[blk, 2]
-        y0 = vals[3:4, :] + base_ref[blk, 3]
-        w = jnp.maximum(vals[4:5, :] + base_ref[blk, 4], 1.0)
-        rank = vals[5:6, :] + base_ref[blk, 5] - 1.0
+        starts = vals[1:2, :] + base_ref[blk * 8 + 1]
+        x0 = vals[2:3, :] + base_ref[blk * 8 + 2]
+        y0 = vals[3:4, :] + base_ref[blk * 8 + 3]
+        w = jnp.maximum(vals[4:5, :] + base_ref[blk * 8 + 4], 1.0)
+        rank = vals[5:6, :] + base_ref[blk * 8 + 5] - 1.0
 
         local = j - starts
         q = jnp.floor(local / w)
@@ -186,6 +186,8 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
         jnp.zeros_like(g0r, jnp.float32),
     ], axis=1)
     base = jnp.where((idx >= 0)[:, None], base, 0.0)  # [NB, 8]
+    base = base.reshape(-1)  # flat SMEM layout (2-D rows pad to 128
+    # lanes and blow the 1 MB SMEM budget)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -131,24 +131,11 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
 
-    # Fast path: pre-sort gaussians by depth once (N elements), so pair
-    # order within a tile == gaussian index order, and the pair sort
-    # collapses to ONE packed int32 key (tile << bits | depth_rank)
-    # instead of a 3-operand lexicographic sort over the much larger P.
-    gid_bits = max(1, n.bit_length())  # 2**bits > n: room for sentinel n
-    packed_ok = (num_tiles + 1) < (1 << (31 - gid_bits))
-    if packed_ok:
-        order = jnp.argsort(jnp.where(radius > 0, depth, jnp.inf))
-        means2d = means2d[order]
-        radius = radius[order]
-        depth = depth[order]
-        if extent is not None:
-            extent = extent[order]
-    else:
-        order = None
-
     # Per-axis half-extents (3-sigma ellipse AABB) when provided —
     # tighter rects than the CUDA reference's circumscribed circle.
+    # Rects are computed BEFORE any permutation so the sort needs only
+    # one packed [N, 4] gather afterwards (separate 1-D permutation
+    # gathers serialize per element on TPU: ~0.66 ms each at N=100k).
     if extent is not None:
         rx = extent[:, 0].astype(jnp.float32)
         ry = extent[:, 1].astype(jnp.float32)
@@ -166,28 +153,40 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     rect_h = (y1 - y0).astype(jnp.int32)
     count = jnp.where(radius > 0, rect_w * rect_h, 0)
 
+    # Fast path: pre-sort gaussians by (live, depth) once (N elements):
+    # pair order within a tile == gaussian index order, so the pair sort
+    # collapses to ONE packed int32 key (tile << bits | depth_rank)
+    # instead of a 3-operand lexicographic sort over the much larger P.
+    # Keying on count>0 (not radius>0) also compacts covering gaussians
+    # to the front, which the Pallas expansion kernel requires (strictly
+    # increasing starts over the active prefix).
+    gid_bits = max(1, n.bit_length())  # 2**bits > n: room for sentinel n
+    packed_ok = (num_tiles + 1) < (1 << (31 - gid_bits))
+    if packed_ok:
+        order = jnp.argsort(jnp.where(count > 0, depth, jnp.inf))
+        tab = jnp.stack([x0, y0, rect_w, count], axis=1)[order]
+        x0, y0, rect_w, count = (tab[:, 0], tab[:, 1], tab[:, 2],
+                                 tab[:, 3])
+        active = count > 0
+    else:
+        order = None
+        active = count > 0
+
     ends = jnp.cumsum(count)          # inclusive; [N]
     starts = ends - count
     total = ends[-1] if n > 0 else jnp.int32(0)
 
     if expand_kernel and packed_ok:
-        # Pallas expansion: compact the count>0 gaussians to the front
-        # (stable over the depth order, so compact index is still a
-        # depth rank) so starts are strictly increasing, then emit the
-        # packed per-slot keys with the windowed-matmul kernel — the
-        # delta-scatter below serializes per row on TPU (4.4 ms at
-        # 1080p) while the kernel streams (see pair_expand.py).
+        # Pallas expansion: per-slot packed keys via windowed indicator
+        # matmuls — the delta-scatter below serializes per row on TPU
+        # (4.4 ms at 1080p) while the kernel streams (see
+        # pair_expand.py). The compaction the kernel needs is already
+        # folded into ``order`` above.
         from .pair_expand import expand_keys
 
-        perm2 = jnp.argsort((count == 0).astype(jnp.int32), stable=True)
-        count_c = count[perm2]
-        active_c = count_c > 0
-        ends_c = jnp.cumsum(count_c)
-        starts_c = (ends_c - count_c).astype(jnp.int32)
-        key = expand_keys(starts_c, x0[perm2], y0[perm2], rect_w[perm2],
-                          active_c, total, n, gid_bits, tiles_x,
+        key = expand_keys(starts.astype(jnp.int32), x0, y0, rect_w,
+                          active, total, n, gid_bits, tiles_x,
                           pair_budget, interpret=interpret)
-        order = order[perm2]
     else:
         # Pair slot j belongs to gaussian i = last index with
         # starts[i] <= j. ONE small scatter of per-gaussian deltas at the
@@ -205,7 +204,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     if aligned_chunk and packed_ok:
         if pad_budget is None:
             pad_budget = num_tiles * (aligned_chunk - 1)
-        return _aligned_bins(key, radius, x0, y0, rect_w, starts, ends,
+        return _aligned_bins(key, active, x0, y0, rect_w, starts, ends,
                              total, n, gid_bits, tiles_x, tiles_y,
                              num_tiles, pair_budget, aligned_chunk, order,
                              pad_budget)
@@ -272,7 +271,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                     seg_start=seg_start.astype(jnp.int32), order=order)
 
 
-def _aligned_bins(key, radius, x0, y0, rect_w, starts, ends, total, n,
+def _aligned_bins(key, active, x0, y0, rect_w, starts, ends, total, n,
                   gid_bits, tiles_x, tiles_y, num_tiles, pair_budget,
                   chunk, order, pad_budget):
     """Chunk-aligned segments by construction (see module docstring).
@@ -286,7 +285,7 @@ def _aligned_bins(key, radius, x0, y0, rect_w, starts, ends, total, n,
     (exact in f32: counts < 2^24)."""
     emit = (jnp.minimum(ends, pair_budget)
             - jnp.minimum(starts, pair_budget))          # [N] clamped
-    emit = jnp.where(radius > 0, emit, 0)
+    emit = jnp.where(active, emit, 0)
     w = jnp.maximum(rect_w, 1)
     q = emit // w
     rem = emit - q * w

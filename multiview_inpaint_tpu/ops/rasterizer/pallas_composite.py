@@ -71,10 +71,26 @@ def _lane_cumsum(x, exclusive: bool = False):
     return dot(hi) + dot(lo)
 
 
-def _kernel(group, tiles_x, starts_ref, counts_ref, attrs_ref, bg_ref,
-            out_ref, scratch, sems):
+def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
+            bg_ref, out_ref, scratch, sems):
     t = pl.program_id(0)
     txg = pl.program_id(1)
+
+    def issue_chunk0(row, slot):
+        # Prefetch a tile's first chunk while its predecessor composites:
+        # with ~1.6 chunks per tile the first-chunk DMA latency would
+        # otherwise be exposed on almost every tile.
+        start = pl.multiple_of(starts_ref[row], CHUNK)
+
+        @pl.when(counts_ref[row] > 0)
+        def _():
+            pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(start, CHUNK)], scratch.at[slot],
+                sems.at[slot]).start()
+
+    @pl.when(jnp.logical_and(t == 0, txg == 0))
+    def _():
+        issue_chunk0(0, 0)
 
     def one_tile(g, _):
         tx = txg * group + g
@@ -87,6 +103,9 @@ def _kernel(group, tiles_x, starts_ref, counts_ref, attrs_ref, bg_ref,
         start = pl.multiple_of(starts_ref[row], CHUNK)
         count = counts_ref[row]
         n_chunks = pl.cdiv(count, CHUNK)
+        # Consecutive tiles (incl. across grid steps) alternate scratch
+        # slot pairs, keyed on global row parity.
+        base = (row % 2) * 2
 
         def get_dma(slot, chunk_idx):
             return pltpu.make_async_copy(
@@ -95,9 +114,14 @@ def _kernel(group, tiles_x, starts_ref, counts_ref, attrs_ref, bg_ref,
                 sems.at[slot],
             )
 
-        @pl.when(n_chunks > 0)
+        # This tile's chunk 0 is already in flight (issued by the
+        # previous tile / grid step); launch the successor's now (rows
+        # are globally consecutive, even across grid steps). The
+        # successor uses the OTHER slot pair, and its predecessor (two
+        # tiles back) has fully retired, so no slot conflict.
+        @pl.when(row + 1 < tiles_x * tiles_y)
         def _():
-            get_dma(0, 0).start()
+            issue_chunk0(row + 1, ((row + 1) % 2) * 2)
 
         def cond(state):
             i, t_carry, _, _ = state
@@ -109,10 +133,10 @@ def _kernel(group, tiles_x, starts_ref, counts_ref, attrs_ref, bg_ref,
 
             @pl.when(i + 1 < n_chunks)
             def _():
-                get_dma((i + 1) % 2, i + 1).start()
+                get_dma(base + (i + 1) % 2, i + 1).start()
 
-            get_dma(i % 2, i).wait()
-            a = scratch[i % 2]  # [NROWS, CHUNK]
+            get_dma(base + i % 2, i).wait()
+            a = scratch[base + i % 2]  # [NROWS, CHUNK]
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
             valid = (i * CHUNK + lane) < count  # [1, CHUNK]
@@ -164,7 +188,15 @@ def _kernel(group, tiles_x, starts_ref, counts_ref, attrs_ref, bg_ref,
         init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
                 jnp.zeros((PIX, 3), jnp.float32),
                 jnp.zeros((PIX, 1), jnp.float32))
-        _, t_fin, rgb_acc, d_acc = jax.lax.while_loop(cond, body, init)
+        i_end, t_fin, rgb_acc, d_acc = jax.lax.while_loop(cond, body,
+                                                          init)
+
+        # Saturation exit leaves chunk i_end's DMA in flight (started in
+        # body i_end-1). Retire it, or its stale semaphore signal would
+        # let the tile two rows ahead read its slot mid-copy.
+        @pl.when(i_end < n_chunks)
+        def _():
+            get_dma(base + i_end % 2, i_end).wait()
 
         bg = bg_ref[0:3, 0]  # [3]
         rgb = rgb_acc + t_fin * bg[None, :]
@@ -199,12 +231,12 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                                lambda t, txg, *_: (t, txg, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, NROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out = pl.pallas_call(
-        partial(_kernel, group, tiles_x),
+        partial(_kernel, group, tiles_x, tiles_y),
         out_shape=jax.ShapeDtypeStruct((tiles_y, tiles_x, 8, PIX),
                                        jnp.float32),
         grid_spec=grid_spec,

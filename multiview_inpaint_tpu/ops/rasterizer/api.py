@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...gs.gaussians import GaussianParams
-from . import binning, composite, geometry, pallas_backward, pallas_composite
+from . import (binning, composite, geometry, pallas_backward,
+               pallas_composite, segment_reduce)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
@@ -181,12 +182,21 @@ def render(params: GaussianParams, camera: RenderCamera,
         if bins.order is not None:
             # gid_sorted is in depth-rank space: reorder the attribute
             # table once (N-sized gather) so the big pair gather needs no
-            # order[] indirection.
-            packed = packed[bins.order]
+            # order[] indirection. Custom VJP: permutation scatter-add
+            # == inverse-permutation gather (segment_reduce).
+            packed = segment_reduce.permute_rows(packed, bins.order)
         # Sentinel row (id == N) for alignment padding: zero opacity.
         packed = jnp.concatenate(
             [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)])
-        gathered = packed[bins.gid_sorted]
+        # Custom VJP: pair-grad reduction to gaussians via the
+        # double-sort segment reduction instead of a P-row scatter-add.
+        # (rank_lo is absent on the generic non-packed-key fallback,
+        # where gid_sorted is in original id space — keep autodiff.)
+        if bins.rank_lo is not None:
+            gathered = segment_reduce.gather_pairs(
+                packed, bins.gid_sorted, bins.rank_lo)
+        else:
+            gathered = packed[bins.gid_sorted]
         tiles8 = _pallas_composite_diff(
             tiles_x, tiles_y, interpret, gathered.T,
             jnp.asarray(bg_color, jnp.float32),

@@ -54,6 +54,10 @@ class TileBins(NamedTuple):
     # layout overflowed and the caller must grow pad_budget (doubling,
     # like pair_budget).
     pad_pairs: jnp.ndarray = 0
+    # [N+2] int32 segment boundaries of each depth-rank row's pairs in
+    # id-sorted pair order (aligned path only): feeds the double-sort
+    # gradient reduction (segment_reduce.gather_pairs).
+    rank_lo: jnp.ndarray | None = None
 
 
 def _delta(v):
@@ -324,15 +328,27 @@ def _aligned_bins(key, active, x0, y0, rect_w, starts, ends, total, n,
     pad_key = jnp.where(pad_slots < pad_total,
                         (pad_tile << gid_bits) | mask, _INT_MAX)
 
-    key_s = jnp.sort(jnp.concatenate([key, pad_key]))
+    # Unstable single-operand sort: jnp.sort is stable by default, which
+    # makes XLA carry an iota payload through every pass. Equal keys are
+    # interchangeable here (the key IS the payload).
+    import jax
+    (key_s,) = jax.lax.sort((jnp.concatenate([key, pad_key]),),
+                            is_stable=False)
     gid_s = jnp.minimum(key_s & mask, n).astype(jnp.int32)
     gid_s = jnp.where(key_s == _INT_MAX, n, gid_s)
+
+    p_aligned = pair_budget + pad_budget
+    rank_lo = jnp.concatenate([
+        jnp.minimum(starts, pair_budget).astype(jnp.int32),
+        jnp.minimum(total, pair_budget).reshape(1).astype(jnp.int32),
+        jnp.full((1,), p_aligned, jnp.int32),
+    ])
 
     return TileBins(ids=jnp.zeros((0, 0), jnp.int32),
                     valid=jnp.zeros((0, 0), bool), counts=counts,
                     total_pairs=total, gid_sorted=gid_s,
                     seg_start=start_aligned, order=order,
-                    pad_pairs=pad_total)
+                    pad_pairs=pad_total, rank_lo=rank_lo)
 
 
 def _lex_sort(tile, depth, gid):

@@ -17,18 +17,21 @@ i.e. an indicator matrix [K, B] (VPU compares) against the delta table
 [K, C] (one dot), plus a per-block baseline. The kernel emits the final
 packed sort key ``tile * 2^gid_bits + compact_rank`` per slot directly.
 
-Cost shaping (measured on v5e; the naive f32 variant was a 4.5 ms
-regression):
-  - The table rows are 128 lanes wide (Mosaic DMA minimum) but only ~6
-    channels are live, so exact-integer matmul passes are almost free
-    lane-wise: instead of 2-3 sequential precision-split matmuls, the
-    hi/lo bf16 split terms of each delta channel ride SEPARATE LANES of
-    ONE bf16 matmul, and the split is summed from the output rows.
-  - B=128-slot blocks minimize the contraction window (K=160) and the
-    MXU tile count per slot; the full kernel is ~43 G MAC at 1080p.
-  - The table itself is bf16 (exactness notes below), halving HBM
-    traffic; ``starts`` rides three bf16 lanes (hi/mid/lo) that
-    reconstruct the exact f32 value for the indicator compare.
+Cost shaping (measured on v5e; a naive f32 variant was a 4.5 ms
+regression, a B=128 3-matmul variant still 5 ms):
+  - The table rows are 128 lanes wide (Mosaic DMA minimum) but only ~9
+    channels are live, so exact-integer precision splits are free
+    lane-wise: the hi/lo bf16 split terms of each delta channel ride
+    SEPARATE LANES of ONE bf16 matmul per block, summed from the
+    output rows afterwards.
+  - The per-slot tail math (division into tile coords, key packing)
+    runs once per GROUP of 8 blocks on [8, B] arrays — per-block [1, B]
+    rows would use 1/8 of the VPU's sublanes.
+  - The table is bf16 (exactness notes below), halving HBM traffic;
+    ``starts`` rides three bf16 lanes (hi/mid/lo) that reconstruct the
+    exact f32 value for the indicator compare.
+  - Per-block baselines stream as a pipelined VMEM operand rather than
+    SMEM scalars, so the tail math stays vectorized.
 
 Exactness: every dotted lane is an integer-valued delta small enough
 for a 2-term bf16 split (bf16 represents integers <= 256 exactly, and
@@ -52,8 +55,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B = 128          # pair slots per block
-K = B + 32       # gaussian window per block: <= B-1 starts inside a
+B = 256          # pair slots per block
+K = B + 32       # gaussian window per block: <= B starts inside a
                  # block, +16 window alignment (bf16 sublane tile), +
                  # margin; multiple of 16.
 GROUP = 8        # blocks per grid step (amortizes per-step overhead)
@@ -66,10 +69,12 @@ INT_MAX = 2 ** 31 - 1  # python int: jnp constants would be captured consts
 #   5:     d_x0    6: d_y0    7: d_w    8: d_count
 _L_S0, _L_S1, _L_S2 = 0, 1, 2
 _L_DS_HI, _L_DS_LO, _L_DX, _L_DY, _L_DW, _L_DC = 3, 4, 5, 6, 7, 8
+# Baseline channels (lanes of the base operand): 1 starts, 2 x0, 3 y0,
+# 4 w, 5 count — matching the delta channel semantics.
 
 
-def _kernel(gid_bits, tiles_x, g0r_ref, total_ref, base_ref, table_ref,
-            out_ref, scratch, sems):
+def _kernel(gid_bits, tiles_x, g0r_ref, total_ref, table_ref, base_ref,
+            out_ref, vals_s, scratch, sems):
     step = pl.program_id(0)
     total = total_ref[0]
 
@@ -82,9 +87,8 @@ def _kernel(gid_bits, tiles_x, g0r_ref, total_ref, base_ref, table_ref,
 
     get_dma(0).start()
 
+    # Phase 1: one matmul per block -> raw channel sums [128, B].
     def one_block(g, _):
-        blk = step * GROUP + g
-
         @pl.when(g + 1 < GROUP)
         def _():
             get_dma(g + 1).start()
@@ -96,44 +100,51 @@ def _kernel(gid_bits, tiles_x, g0r_ref, total_ref, base_ref, table_ref,
         s = (tab[:, _L_S0:_L_S0 + 1].astype(jnp.float32)
              + tab[:, _L_S1:_L_S1 + 1].astype(jnp.float32)
              + tab[:, _L_S2:_L_S2 + 1].astype(jnp.float32))   # [K, 1]
-        # slots of this block along lanes
+        blk = step * GROUP + g
         j = (blk * B + jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
              ).astype(jnp.float32)                 # [1, B]
         ind = (s <= j).astype(jnp.bfloat16)        # [K, B]
         # ONE bf16 matmul: [128, B] = table^T @ indicator; hi/lo split
         # terms live in separate lanes and are summed from output rows.
-        vals = jax.lax.dot_general(
+        vals_s[g] = jax.lax.dot_general(
             tab, ind, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-
-        starts = (vals[_L_DS_HI:_L_DS_HI + 1, :]
-                  + vals[_L_DS_LO:_L_DS_LO + 1, :]
-                  + base_ref[blk * 8 + 1])
-        x0 = vals[_L_DX:_L_DX + 1, :] + base_ref[blk * 8 + 2]
-        y0 = vals[_L_DY:_L_DY + 1, :] + base_ref[blk * 8 + 3]
-        w = jnp.maximum(vals[_L_DW:_L_DW + 1, :] + base_ref[blk * 8 + 4],
-                        1.0)
-        rank = vals[_L_DC:_L_DC + 1, :] + base_ref[blk * 8 + 5] - 1.0
-
-        local = j - starts
-        q = jnp.floor(local / w)
-        r = local - q * w
-        # exact-integer division correction (f32 quotient can be off by
-        # one ulp at exact multiples)
-        q = jnp.where(r < 0.0, q - 1.0, q)
-        r = jnp.where(r < 0.0, r + w, r)
-        q = jnp.where(r >= w, q + 1.0, q)
-        r = jnp.where(r >= w, r - w, r)
-        tile = (y0 + q) * float(tiles_x) + (x0 + r)
-
-        key = ((tile.astype(jnp.int32) << gid_bits)
-               | rank.astype(jnp.int32))
-        key = jnp.where(j.astype(jnp.int32) >= total,
-                        jnp.int32(INT_MAX), key)
-        out_ref[pl.ds(g, 1), :] = key
         return 0
 
     jax.lax.fori_loop(0, GROUP, one_block, 0)
+
+    # Phase 2: per-slot tail math for all GROUP blocks at once, [GROUP,B]
+    # (blocks ride sublanes, slots ride lanes).
+    base = base_ref[:, :]                              # [GROUP, 128] f32
+
+    def ch(lane):
+        return vals_s[:, lane, :]                      # [GROUP, B]
+
+    starts = (ch(_L_DS_HI) + ch(_L_DS_LO) + base[:, 1:2])
+    x0 = ch(_L_DX) + base[:, 2:3]
+    y0 = ch(_L_DY) + base[:, 3:4]
+    w = jnp.maximum(ch(_L_DW) + base[:, 4:5], 1.0)
+    rank = ch(_L_DC) + base[:, 5:6] - 1.0
+
+    j = (step * GROUP * B
+         + jax.lax.broadcasted_iota(jnp.int32, (GROUP, B), 0) * B
+         + jax.lax.broadcasted_iota(jnp.int32, (GROUP, B), 1)
+         ).astype(jnp.float32)
+
+    local = j - starts
+    q = jnp.floor(local / w)
+    r = local - q * w
+    # exact-integer division correction (f32 quotient can be off by one
+    # ulp at exact multiples)
+    q = jnp.where(r < 0.0, q - 1.0, q)
+    r = jnp.where(r < 0.0, r + w, r)
+    q = jnp.where(r >= w, q + 1.0, q)
+    r = jnp.where(r >= w, r - w, r)
+    tile = (y0 + q) * float(tiles_x) + (x0 + r)
+
+    key = (tile.astype(jnp.int32) << gid_bits) | rank.astype(jnp.int32)
+    out_ref[:, :] = jnp.where(j.astype(jnp.int32) >= total,
+                              jnp.int32(INT_MAX), key)
 
 
 def _bf16_pair(x):
@@ -191,15 +202,18 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
     table = table.at[:n, :chans.shape[1]].set(chans)
 
     # per-block first-gaussian window origin (16-aligned: bf16 sublane
-    # tile)
+    # tile). method="sort": the default binary-search lowering is a
+    # 17-pass while loop that cost ~2.4 ms at 10k blocks.
     block_starts = jnp.arange(nb_pad, dtype=jnp.int32) * B
     g_first = jnp.maximum(
         jnp.searchsorted(starts_f, block_starts.astype(jnp.float32),
-                         side="right").astype(jnp.int32) - 1, 0)
+                         side="right", method="sort").astype(jnp.int32)
+        - 1, 0)
     g0r = (g_first // 16) * 16
 
     # per-block channel baselines = cumulative values at g0r-1 (all rows
-    # below g0r are active and precede every slot of the block)
+    # below g0r are active and precede every slot of the block); a
+    # pipelined [NB, 128] VMEM operand (channels in lanes 1..5).
     idx = g0r - 1
     safe = jnp.maximum(idx, 0)
     base = jnp.stack([
@@ -209,22 +223,22 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
         y0_c[safe].astype(jnp.float32),
         w_c[safe].astype(jnp.float32),
         (safe + 1).astype(jnp.float32),               # cum active count
-        jnp.zeros_like(g0r, jnp.float32),
-        jnp.zeros_like(g0r, jnp.float32),
     ], axis=1)
-    base = jnp.where((idx >= 0)[:, None], base, 0.0)  # [NB, 8]
-    base = base.reshape(-1)  # flat SMEM layout (2-D rows pad to 128
-    # lanes and blow the 1 MB SMEM budget)
+    base = jnp.where((idx >= 0)[:, None], base, 0.0)  # [NB, 6]
+    base = jnp.pad(base, ((0, 0), (0, 128 - base.shape[1])))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(nb_pad // GROUP,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),      # table (HBM)
+            pl.BlockSpec((GROUP, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),     # baselines
         ],
         out_specs=pl.BlockSpec((GROUP, B), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((GROUP, 128, B), jnp.float32),  # phase-1 sums
             pltpu.VMEM((2, K, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -234,5 +248,5 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((nb_pad, B), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(g0r, jnp.asarray(total, jnp.int32).reshape(1), base, table)
+    )(g0r, jnp.asarray(total, jnp.int32).reshape(1), table, base)
     return keys.reshape(p_pad)[:pair_budget]

@@ -21,12 +21,77 @@ is one XLA program: no host round trips between steps.
 
 from __future__ import annotations
 
+import contextlib
+import os
 from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from .guiders import IdentityGuider
+
+# ---------------------------------------------------------------------
+# Opt-in latent debugging (the reference's EDMSampler3 sprinkles
+# np.save(x) calls through its loop, sampling.py:271-354; here the loops
+# are jitted lax.scans, so dumps ride jax.debug.callback). Register a
+# hook BEFORE the sampler is first traced — already-compiled programs
+# contain no callback op (jax.clear_caches() forces a retrace).
+_debug_hook: Optional[Callable] = None
+
+
+def set_latent_debug_hook(hook: Optional[Callable]):
+    """hook(tag: str, sigma, x) is called once per sampler step with the
+    post-update latent (host numpy arrays). Returns the previous hook."""
+    global _debug_hook
+    prev, _debug_hook = _debug_hook, hook
+    return prev
+
+
+def _emit(tag: str, sigma, x):
+    if _debug_hook is not None:
+        jax.debug.callback(_debug_hook, tag, sigma, x, ordered=True)
+
+
+class LatentDumper:
+    """Writes ``{prefix}_{i:03d}_{tag}.npy`` per sampler step plus a
+    ``{prefix}_sigmas.npy`` ladder on close."""
+
+    def __init__(self, out_dir: str, prefix: str = "latent"):
+        import numpy as np
+        self._np = np
+        self.out_dir = out_dir
+        self.prefix = prefix
+        self.i = 0
+        self.sigmas = []
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, tag, sigma, x):
+        self._np.save(os.path.join(
+            self.out_dir, f"{self.prefix}_{self.i:03d}_{tag}.npy"),
+            self._np.asarray(x))
+        self.sigmas.append(float(sigma))
+        self.i += 1
+
+    def close(self):
+        self._np.save(os.path.join(self.out_dir,
+                                   f"{self.prefix}_sigmas.npy"),
+                      self._np.asarray(self.sigmas))
+
+
+@contextlib.contextmanager
+def latent_dump(out_dir: str, prefix: str = "latent"):
+    """Context manager: dump every sampler step's latent to ``out_dir``.
+    Clears jit caches on entry so already-traced samplers re-trace with
+    the callback baked in."""
+    dumper = LatentDumper(out_dir, prefix)
+    jax.clear_caches()
+    prev = set_latent_debug_hook(dumper)
+    try:
+        yield dumper
+    finally:
+        set_latent_debug_hook(prev)
+        dumper.close()
+        jax.clear_caches()
 
 
 def _bdims(s, x):
@@ -80,6 +145,7 @@ def euler_edm_sample(denoise_fn: Callable, x: jnp.ndarray, cond: Dict,
         denoised = _guided_denoise(denoise_fn, guider, x, s_vec, cond, uc)
         d = _to_d(x, s_vec, denoised)
         x = x + (next_sigma - sigma_hat) * d
+        _emit("euler", sigma_hat, x)
         return (x, k), None
 
     (x, _), _ = jax.lax.scan(
@@ -116,6 +182,7 @@ def heun_edm_sample(denoise_fn, x, cond, uc, sigmas,
         d2 = _to_d(x_e, ns_vec, den2)
         x_h = x + dt * 0.5 * (d + d2)
         x = jnp.where(next_sigma > 0, x_h, x_e)
+        _emit("heun", sigma_hat, x)
         return (x, k), None
 
     (x, _), _ = jax.lax.scan(
@@ -151,6 +218,7 @@ def euler_edm_sample_blended(denoise_fn, x, cond, uc, sigmas, z, mask,
         denoised = _guided_denoise(denoise_fn, guider, x, s_vec, cond, uc)
         d = _to_d(x, s_vec, denoised)
         x = x + (next_sigma - sigma_hat) * d
+        _emit("blended", sigma_hat, x)
         return (x, k), None
 
     (x, _), _ = jax.lax.scan(
@@ -185,6 +253,7 @@ def euler_edm_sample_inversion(denoise_fn, inv_denoise_fn, x, cond, uc,
         y_scale = ((next_sigma - sigma) * jnp.sqrt(next_sigma ** 2 + 1)
                    / (sigma * next_sigma + 1))
         x_inv = x_scale * x_inv + y_scale * denoised
+        _emit("invert", next_sigma, x_inv)
         return x_inv, x_inv
 
     inv_pairs = (jnp.flip(sigmas)[:-1], jnp.flip(sigmas)[1:])
@@ -211,6 +280,7 @@ def euler_edm_sample_inversion(denoise_fn, inv_denoise_fn, x, cond, uc,
         denoised = inv_guider.combine(denoise_fn(gx, gs, gc), s_vec)
         d = _to_d(x, s_vec, denoised)
         x = x + (next_sigma - sigma_hat) * d
+        _emit("inversion", sigma_hat, x)
         return (x, k), None
 
     (x, _), _ = jax.lax.scan(
@@ -242,6 +312,7 @@ def euler_ancestral_sample(denoise_fn, x, cond, uc, sigmas,
         x = x + (sigma_down - sigma) * d
         noise = jax.random.normal(sub, x.shape, x.dtype) * s_noise
         x = jnp.where(next_sigma > 0, x + noise * sigma_up, x)
+        _emit("ancestral", sigma, x)
         return (x, k), None
 
     (x, _), _ = jax.lax.scan(step, (x, key), (sigmas[:-1], sigmas[1:]))
@@ -274,6 +345,7 @@ def dpmpp2m_sample(denoise_fn, x, cond, uc, sigmas,
         use_multi = (prev_sigma > 0) & (next_sigma > 0)
         x = jnp.where(next_sigma == 0, x_std,
                       jnp.where(use_multi, x_adv, x_std))
+        _emit("dpmpp2m", sigma, x)
         return (x, denoised, sigma), None
 
     init = (x, jnp.zeros_like(x), jnp.zeros((), x.dtype))

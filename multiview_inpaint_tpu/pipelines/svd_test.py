@@ -168,7 +168,17 @@ def main(argv=None):
                    choices=["float32", "bfloat16"])
     p.add_argument("--tiny_model", action="store_true",
                    help="debug-size model for smoke tests")
-    run(p.parse_args(argv))
+    p.add_argument("--dump_latents", default=None, metavar="DIR",
+                   help="debug: write every sampler step's latent as "
+                        ".npy under DIR (the reference EDMSampler3's "
+                        "np.save affordance, sampling.py:271-354)")
+    args = p.parse_args(argv)
+    if args.dump_latents:
+        from ..diffusion.samplers import latent_dump
+        with latent_dump(args.dump_latents):
+            run(args)
+    else:
+        run(args)
 
 
 if __name__ == "__main__":

@@ -95,6 +95,32 @@ def test_euler_edm_converges_to_target():
                                atol=0.05)
 
 
+def test_latent_dump_hook(tmp_path):
+    """latent_dump writes one npy per sampler step + the sigma ladder
+    (the reference EDMSampler3's np.save debugging, sampling.py:271-354),
+    and unregistering restores dump-free sampling."""
+    target = jnp.zeros((1, 4, 4, 2))
+
+    def denoise_fn(x, s, c):
+        return jnp.broadcast_to(target, x.shape)
+
+    x0 = jax.random.normal(jax.random.key(1), target.shape)
+    sig = _sigmas(5)
+    d = tmp_path / "latents"
+    with samplers.latent_dump(str(d)) as dumper:
+        samplers.euler_edm_sample(denoise_fn, x0, {}, None, sig)
+    files = sorted(p.name for p in d.glob("latent_*_euler.npy"))
+    assert len(files) == 5  # one per step
+    assert dumper.i == 5
+    lad = np.load(d / "latent_sigmas.npy")
+    assert lad.shape == (5,) and lad[0] > lad[-1]
+    last = np.load(d / files[-1])
+    assert last.shape == x0.shape
+    # hook is cleared afterwards: no new files
+    samplers.euler_edm_sample(denoise_fn, x0, {}, None, sig)
+    assert len(list(d.glob("latent_*_euler.npy"))) == 5
+
+
 def test_heun_more_accurate_than_euler():
     """Linear-in-sigma denoiser: D(x) = x/2. ODE solvable; Heun should
     land closer to the exact solution than Euler with few steps."""

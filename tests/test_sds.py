@@ -114,3 +114,92 @@ def test_unet2d_weight_import_roundtrip():
                                                          video=False)
     assert unexpected == [], unexpected[:5]
     assert missing == [], missing[:5]
+
+
+def test_sds_full_loop_grows_appearance_toward_prior():
+    """End-to-end SDS loop quality (VERDICT weak #6): rasterizer ->
+    VAE-encode -> CFG eps-model -> SDS grad -> Adam on gaussian fields,
+    via models.sds_trainer.sds_train_step, against an analytic
+    point-mass prior whose mode is a bright disk. The rendered view must
+    converge toward the disk pattern — the reference sds_train.py's
+    observable outcome (coarse appearance emerging from the prior), at
+    toy scale.
+    """
+    from multiview_inpaint_tpu.gs import gaussians as g_mod
+    from multiview_inpaint_tpu.gs.cameras import make_camera
+    from multiview_inpaint_tpu.models import gs_trainer, sds_trainer
+    from multiview_inpaint_tpu.ops.rasterizer import RenderCamera
+    from multiview_inpaint_tpu.pipelines.common import OptimizationConfig
+    from multiview_inpaint_tpu.utils.schedules import inverse_sigmoid
+
+    size = 48
+    rng = np.random.default_rng(0)
+
+    # Prior mode: bright disk on dark ground, in identity-VAE latents.
+    yy, xx = np.mgrid[0:size, 0:size]
+    disk = (((yy - size / 2) ** 2 + (xx - size / 2) ** 2)
+            < (size * 0.3) ** 2).astype(np.float32)
+    target_img = np.stack([disk, disk, disk], -1) * 0.9 + 0.05
+    enc, _dec = _identity_vae()
+    m_lat = enc(jnp.asarray(target_img)[None])        # [1,h,w,4]
+    schedule = DDPMSchedule()
+    acp_tab = schedule.alphas_cumprod()
+
+    def eps_model(x9, t, emb):
+        # point-mass optimal eps: (x_t - sqrt(acp) M) / sqrt(1 - acp);
+        # identical for cond/uncond so CFG collapses to it.
+        acp = acp_tab[t.astype(jnp.int32)][:, None, None, None]
+        x = x9[..., :4]
+        m = jnp.concatenate([m_lat, m_lat], axis=0)
+        return (x - jnp.sqrt(acp) * m) / jnp.sqrt(1.0 - acp)
+
+    guidance = SDSGuidance(eps_model, enc, _dec,
+                           SDSConfig(guidance_scale=100.0))
+
+    # Scene: a thin slab of gaussians covering the view frustum.
+    n = 400
+    xyz = np.stack([rng.uniform(-1.2, 1.2, n), rng.uniform(-1.2, 1.2, n),
+                    rng.uniform(-0.05, 0.05, n)], -1).astype(np.float32)
+    params = g_mod.from_arrays(
+        xyz, np.full((n, 1, 3), 0.0, np.float32),
+        np.zeros((n, 0, 3), np.float32),
+        np.full((n, 1), float(inverse_sigmoid(jnp.asarray(0.5)))),
+        np.log(np.full((n, 3), 0.12, np.float32)),
+        np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)))
+    cam = make_camera(0, np.eye(3), np.array([0.0, 0.0, 3.0]),
+                      fovx=0.9, fovy=0.9, width=size, height=size)
+    rcam = RenderCamera.from_camera(cam)
+    bg = jnp.zeros(3, jnp.float32)
+    mask = jnp.ones((size, size), jnp.float32)   # whole view = inpaint
+    gt = jnp.zeros((size, size, 3), jnp.float32)
+    text_embs = jnp.zeros((2, 1, 8), jnp.float32)
+
+    state = gs_trainer.init_state(params)
+    cfg = OptimizationConfig()
+    step_kw = dict(cfg=cfg, guidance=guidance, spatial_lr_scale=1.0,
+                   sds_weight=1e-4, sds_size=size, pair_budget_mult=8,
+                   backend="xla")
+
+    def render_now(st):
+        from multiview_inpaint_tpu.ops.rasterizer import render
+        out = render(st.params, rcam, bg, sh_degree=0,
+                     pair_budget=8 * st.params.capacity)
+        return np.clip(np.asarray(out.rgb), 0, 1)
+
+    img0 = render_now(state)
+    err0 = float(np.mean((img0 - target_img) ** 2))
+    key = jax.random.key(7)
+    for i in range(120):
+        key, k1 = jax.random.split(key)
+        state, m = sds_trainer.sds_train_step(
+            state, rcam, gt, mask, bg, text_embs=text_embs, key=k1,
+            **step_kw)
+    img1 = render_now(state)
+    err1 = float(np.mean((img1 - target_img) ** 2))
+    assert np.isfinite(err1)
+    # appearance moved decisively toward the prior's mode...
+    assert err1 < 0.5 * err0, (err0, err1)
+    # ...with the disk/ground contrast actually present
+    inside = img1[disk > 0.5].mean()
+    outside = img1[disk < 0.5].mean()
+    assert inside > outside + 0.15, (inside, outside)

@@ -172,18 +172,21 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         # d_op = d_power / op wherever nonzero (exactly 0 elsewhere).
         d_opacity = m0 / jnp.maximum(a[:, 5:6], 1e-20)
 
-        # color/depth grads: w @ g4^T -> [CHUNK, 4]
+        # color/depth grads: w @ g4^T -> [CHUNK, 4]; the g4 hi/lo split
+        # terms ride separate SUBLANES of one packed operand (2 passes).
         whi = w.astype(jnp.bfloat16)
         wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
         g4hi = g4r.astype(jnp.bfloat16)
         g4lo = (g4r - g4hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        g48 = jnp.concatenate([g4hi, g4lo], axis=0)     # [8, PIX]
 
-        def wdot(u, v):  # [CHUNK,PIX] x [4,PIX] -> [CHUNK,4]
+        def wdot(u, v):  # [CHUNK,PIX] x [k,PIX] -> [CHUNK,k]
             return jax.lax.dot_general(
                 u, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        wg = wdot(whi, g4hi) + wdot(wlo, g4hi) + wdot(whi, g4lo)
+        wg8 = wdot(whi, g48)
+        wg = wg8[:, 0:4] + wg8[:, 4:8] + wdot(wlo, g4hi)
 
         grow = jnp.concatenate([
             d_mx, d_my, d_a, d_b, d_c, d_opacity, wg,

@@ -159,22 +159,25 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
             contrib = t_out >= T_STOP
             w = jnp.where(contrib, alpha * t_in, 0.0)  # [CHUNK, PIX]
 
-            # [4, CHUNK] @ [CHUNK, PIX] -> MXU. Manual 3-pass hi/lo
-            # bf16 split: Precision.HIGHEST costs 6 full passes and
-            # measured 1.3 ms/frame slower at 1080p (A/B, PERF.md);
-            # the split keeps ~2^-16 relative accuracy.
+            # [8, CHUNK] @ [CHUNK, PIX] -> MXU. Manual hi/lo bf16 split
+            # (~2^-16 relative accuracy; Precision.HIGHEST's 6 passes
+            # measured 1.3 ms/frame slower at 1080p, A/B in PERF.md).
+            # The cd hi and lo terms ride separate LANES of one packed
+            # operand, so the split costs 2 passes instead of 3.
             cd = a[:, 6:10]                            # [CHUNK, 4]
             whi = w.astype(jnp.bfloat16)
             wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
             cdb = cd.astype(jnp.bfloat16)
             cdl = (cd - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
+            cd8 = jnp.concatenate([cdb, cdl], axis=1)  # [CHUNK, 8]
 
-            def cdot(c, v):  # [CHUNK,4]^T @ [CHUNK,PIX] -> [4,PIX]
+            def cdot(c, v):  # [CHUNK,k]^T @ [CHUNK,PIX] -> [k,PIX]
                 return jax.lax.dot_general(
                     c, v, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-            acc = cdot(cdb, whi) + cdot(cdb, wlo) + cdot(cdl, whi)
+            acc8 = cdot(cd8, whi)          # rows 0-3 cdb·whi, 4-7 cdl·whi
+            acc = acc8[0:4, :] + acc8[4:8, :] + cdot(cdb, wlo)
             rgb_acc = rgb_acc + acc[0:3, :]
             d_acc = d_acc + acc[3:4, :]
             # VPU sublane reduce: an MXU ones-row dot here measured a

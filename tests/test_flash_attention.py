@@ -1,0 +1,60 @@
+"""bf16 Pallas flash attention vs reference attention (interpret mode).
+
+The kernel replaces the XLA dot_product_attention path for >=1024-token
+self-attention (diffusion/attention_op.py); the XLA path materializes
+f32 [B,H,T,T] logits (5.3 GB per ds1 layer at 512x384x14) and profiled
+~23 ms/layer on v5e, vs ~3-5 ms for the kernel.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multiview_inpaint_tpu.diffusion.flash_attention import (_ref_mha,
+                                                             flash_mha)
+
+
+@pytest.fixture(scope="module")
+def qkv():
+    bh, t, d = 3, 1024, 64
+    q = jax.random.normal(jax.random.key(1), (bh, t, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.key(2), (bh, t, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(3), (bh, t, d), jnp.bfloat16)
+    return q, k, v
+
+
+def test_flash_matches_reference_values(qkv):
+    q, k, v = qkv
+    scale = 1.0 / 8.0
+    out = flash_mha(q, k, v, scale, True)
+    ref = _ref_mha(q, k, v, scale)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    assert err.max() < 0.02
+
+
+def test_flash_gradients_match_reference(qkv):
+    q, k, v = qkv
+    scale = 1.0 / 8.0
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g = loss(lambda a, b, c: flash_mha(a, b, c, scale, True))
+    gr = loss(lambda a, b, c: _ref_mha(a, b, c, scale))
+    for a, b in zip(g, gr):
+        e = np.abs(np.asarray(a, np.float32)
+                   - np.asarray(b, np.float32)).max()
+        assert e < 0.25  # bf16 grads
+
+
+def test_attention_op_short_seq_stays_xla():
+    """Temporal/cross shapes (short seq) route through the XLA path on
+    any backend — flash requires T multiple of 512."""
+    from multiview_inpaint_tpu.diffusion.attention_op import attention
+    q = jax.random.normal(jax.random.key(0), (4, 14, 320))
+    out = attention(q, q, q, heads=5)
+    assert out.shape == (4, 14, 320)
+    assert np.isfinite(np.asarray(out)).all()

@@ -142,7 +142,8 @@ class SpatialVideoTransformer(nn.Module):
         # Frame-index positional embedding.
         frames = jnp.tile(jnp.arange(timesteps), b_t // timesteps)
         t_emb = timestep_embedding(frames, self.in_channels,
-                                   self.max_time_embed_period)
+                                   self.max_time_embed_period
+                                   ).astype(x.dtype)
         emb = nn.Dense(self.in_channels * 4, name="time_pos_embed_0")(t_emb)
         emb = nn.Dense(self.in_channels,
                        name="time_pos_embed_2")(nn.silu(emb))

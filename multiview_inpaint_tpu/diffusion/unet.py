@@ -63,11 +63,15 @@ class VideoUNet(nn.Module):
         ch0 = cfg.model_channels
         ted = ch0 * 4
 
-        t_emb = timestep_embedding(timesteps, ch0)
+        # The sinusoid rides f32; cast to the activation dtype BEFORE
+        # the MLP — otherwise `h + emb_out` promotes the entire network
+        # to f32 from the first ResBlock (profiled: every conv ran
+        # 6-pass f32 MXU, ~3x slower than bf16).
+        t_emb = timestep_embedding(timesteps, ch0).astype(x.dtype)
         emb = nn.Dense(ted, name="time_embed_0")(t_emb)
         emb = nn.Dense(ted, name="time_embed_2")(nn.silu(emb))
         if y is not None:
-            lab = nn.Dense(ted, name="label_emb_0_0")(y)
+            lab = nn.Dense(ted, name="label_emb_0_0")(y.astype(x.dtype))
             lab = nn.Dense(ted, name="label_emb_0_2")(nn.silu(lab))
             emb = emb + lab
 

@@ -69,7 +69,9 @@ class UNet2D(nn.Module):
         cfg = self.cfg
         ch0 = cfg.model_channels
         ted = ch0 * 4
-        t_emb = timestep_embedding(timesteps, ch0)
+        # Cast the f32 sinusoid to the activation dtype before the MLP
+        # (an f32 emb would promote the whole net via `h + emb_out`).
+        t_emb = timestep_embedding(timesteps, ch0).astype(x.dtype)
         emb = nn.Dense(ted, name="time_embed_0")(t_emb)
         emb = nn.Dense(ted, name="time_embed_2")(nn.silu(emb))
 

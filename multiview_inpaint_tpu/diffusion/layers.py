@@ -112,7 +112,12 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+        # 2x nearest via broadcast+reshape: jax.image.resize lowers to a
+        # gather that XLA turns into a 64-iteration while loop (~18 ms
+        # per SVD guided step).
+        x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (b, h, 2, w, 2, c)).reshape(
+            b, h * 2, w * 2, c)
         if self.with_conv:
             x = nn.Conv(self.features, (3, 3), name="conv")(x)
         return x

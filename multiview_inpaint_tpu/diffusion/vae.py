@@ -147,7 +147,11 @@ class Decoder(nn.Module):
                 h = res(f"up_{level}_block_{i}", ch)(h)
             if level != 0:
                 b, hh, ww, c = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
+                # 2x nearest via broadcast+reshape (resize lowers to a
+                # slow gather/while on TPU — see layers.Upsample).
+                h = jnp.broadcast_to(h[:, :, None, :, None, :],
+                                     (b, hh, 2, ww, 2, c)).reshape(
+                    b, hh * 2, ww * 2, c)
                 h = nn.Conv(c, (3, 3), name=f"up_{level}_upsample_conv")(h)
         h = nn.silu(_gn(h, "norm_out"))
         h = nn.Conv(cfg.out_ch, (3, 3), name="conv_out")(h)

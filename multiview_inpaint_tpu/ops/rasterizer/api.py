@@ -34,28 +34,27 @@ from . import (binning, composite, geometry, pallas_backward,
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _pallas_composite_diff(tiles_x, tiles_y, interpret, attrs, bg,
+def _pallas_composite_diff(tiles_x, tiles_y, interpret, attrs_t, bg,
                            seg_start_f, counts_f):
     """Differentiable fused compositing: forward = pallas kernel,
-    backward = pallas backward kernel producing pair-space attr grads,
-    both consuming/producing the gather's row-major [P, NROWS] layout
+    backward = pallas backward kernel producing pair-space attr grads
     (segment ints ride as f32 across the custom_vjp boundary)."""
     return pallas_composite.composite_pallas(
-        attrs, seg_start_f.astype(jnp.int32), counts_f.astype(jnp.int32),
+        attrs_t, seg_start_f.astype(jnp.int32), counts_f.astype(jnp.int32),
         bg, tiles_x, tiles_y, interpret=interpret)
 
 
-def _pcd_fwd(tiles_x, tiles_y, interpret, attrs, bg, seg_start_f,
+def _pcd_fwd(tiles_x, tiles_y, interpret, attrs_t, bg, seg_start_f,
              counts_f):
-    tiles8 = _pallas_composite_diff(tiles_x, tiles_y, interpret, attrs,
+    tiles8 = _pallas_composite_diff(tiles_x, tiles_y, interpret, attrs_t,
                                     bg, seg_start_f, counts_f)
-    return tiles8, (attrs, bg, seg_start_f, counts_f, tiles8)
+    return tiles8, (attrs_t, bg, seg_start_f, counts_f, tiles8)
 
 
 def _pcd_bwd(tiles_x, tiles_y, interpret, res, g):
-    attrs, bg, seg_start_f, counts_f, tiles8 = res
+    attrs_t, bg, seg_start_f, counts_f, tiles8 = res
     d_attrs = pallas_backward.composite_pallas_bwd(
-        attrs, seg_start_f.astype(jnp.int32),
+        attrs_t, seg_start_f.astype(jnp.int32),
         counts_f.astype(jnp.int32), bg, tiles8, g, tiles_x, tiles_y,
         interpret=interpret)
     # dL/dbg = sum_pixels T_fin * g_rgb
@@ -199,7 +198,7 @@ def render(params: GaussianParams, camera: RenderCamera,
         else:
             gathered = packed[bins.gid_sorted]
         tiles8 = _pallas_composite_diff(
-            tiles_x, tiles_y, interpret, gathered,
+            tiles_x, tiles_y, interpret, gathered.T,
             jnp.asarray(bg_color, jnp.float32),
             bins.seg_start.astype(jnp.float32),
             bins.counts.astype(jnp.float32))

@@ -12,24 +12,17 @@ forward-order scan):
 
 where TotalContrib = g_rgb.(C - T_fin bg) + g_d.(D - 15 T_fin) comes from
 the saved forward outputs — so backward is a SINGLE forward-order pass
-over the same chunk stream (recomputing alpha/T, carrying the prefix).
+over the same chunk stream (recomputing alpha/T, carrying the prefix),
+with every per-splat parameter gradient a [PIX, CHUNK] column reduction
+(MXU matmuls against g and ones).
 
-Blocks ride as [CHUNK splats, PIX] (same orientation as the forward
-kernel: per-splat scalars broadcast along lanes). The six per-splat
-parameter gradients collapse into ONE pixel-moments matmul: with
-dx = px - mx separable, every sum Σ_p d_power·poly(dx,dy) is a linear
-combination of the moments Σ_p d_power·{1, px, py, px², py², px·py}
-= d_power [CHUNK,PIX] @ basis [PIX,6] — tile-LOCAL pixel coords keep
-the recombination cancellation-free. d_opacity = M0/op since
-d_op = d_power/op wherever it is nonzero.
+Per-pair gradients are DMA'd to a [NROWS, P_aligned] output at the same
+aligned offsets (grid is sequential on TPU — no races); the reduction to
+per-gaussian gradients is the VJP of the XLA gather that built the pair
+array, handled by autodiff in ``api.render``.
 
-Per-pair gradients are DMA'd to a [P_aligned, NROWS] output at the same
-aligned offsets (grid is sequential on TPU — no races) in the gather's
-own row-major layout; the reduction to per-gaussian gradients is the
-double-sort segment reduction (``segment_reduce.gather_pairs``).
-
-Grad column layout: 0 d_mean_x, 1 d_mean_y, 2 d_conic_a, 3 d_conic_b,
-4 d_conic_c, 5 d_opacity, 6-8 d_rgb, 9 d_depth (= NROWS columns).
+Grad row layout: 0 d_mean_x, 1 d_mean_y, 2 d_conic_a, 3 d_conic_b,
+4 d_conic_c, 5 d_opacity, 6-8 d_rgb, 9 d_depth (= NROWS rows).
 """
 
 from __future__ import annotations
@@ -43,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .composite import ALPHA_MIN, DEPTH_EMPTY, T_STOP
 from .pallas_composite import (CHUNK, NROWS, PIX, TILE_H, TILE_W,
-                               _splat_cumsum)
+                               _lane_cumsum)
 
 
 def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
@@ -51,44 +44,47 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
     t = pl.program_id(0)
     tiles_x = pl.num_programs(1)
     tx = pl.program_id(1)
-    # Tile-LOCAL pixel coordinates [1, PIX] (cancellation-free moments).
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    # Global pixel coords for the alpha/power recompute (bit-identical
+    # to the forward kernel); tile-LOCAL coords for the moments basis —
+    # the moments recombination differences polynomial moments, and
+    # local coords (<= 15) keep that cancellation-free.
     pxl = jnp.mod(lin, TILE_W).astype(jnp.float32)
     pyl = (lin // TILE_W).astype(jnp.float32)
     ox = jnp.float32(tx * TILE_W)
     oy = jnp.float32(t * TILE_H)
+    px = pxl + ox
+    py = pyl + oy
+    # Moments basis [6, PIX]: {1, px, py, px^2, py^2, px*py} rows.
+    basis = jnp.concatenate(
+        [jnp.ones((1, PIX), jnp.float32), pxl.T, pyl.T,
+         (pxl * pxl).T, (pyl * pyl).T, (pxl * pyl).T], axis=0)
 
     row = t * tiles_x + tx
     start = pl.multiple_of(starts_ref[row], CHUNK)
     count = counts_ref[row]
     n_chunks = pl.cdiv(count, CHUNK)
 
-    # Upstream grads + forward outputs for this tile: [8, PIX] rows.
+    # Upstream grads + forward outputs for this tile: [8, PIX].
     g = g_ref[0, 0]        # rows: 0-2 g_rgb, 3 g_depth, 4 g_alpha
     fwd = out8_ref[0, 0]   # rows: 0-2 rgb, 3 depth, 4 T_fin
-    g4r = g[0:4, :]                # [4, PIX] (g_rgb | g_d)
-    g_d = g[3:4, :]                # [1, PIX]
-    g_t = g[4:5, :]                # [1, PIX] dL/dT_fin
-    bg = bg_ref[0:3, 0:1]          # [3, 1]
-    t_fin = fwd[4:5, :]            # [1, PIX]
+    g_rgb = g[0:3, :].T            # [PIX, 3]
+    g_d = g[3:4, :].T              # [PIX, 1]
+    g_t = g[4:5, :].T              # [PIX, 1] dL/dT_fin (row 4 IS T_fin)
+    bg = bg_ref[0:3, 0]
+    t_fin = fwd[4:5, :].T          # [PIX, 1]
     # B and TotalContrib from outputs (see module docstring).
-    b_term = (jnp.sum(g[0:3, :] * bg, axis=0, keepdims=True)
-              + DEPTH_EMPTY * g_d + g_t)                       # [1,PIX]
-    total_contrib = (jnp.sum(g[0:3, :] * (fwd[0:3, :] - t_fin * bg),
-                             axis=0, keepdims=True)
-                     + g_d * (fwd[3:4, :] - DEPTH_EMPTY * t_fin))
-
-    # Moments basis [PIX, 6]: {1, px, py, px^2, py^2, px*py} in LOCAL
-    # coords, padded to 128 lanes by the dot itself.
-    pxc = pxl.reshape(PIX, 1)
-    pyc = pyl.reshape(PIX, 1)
-    basis = jnp.concatenate(
-        [jnp.ones((PIX, 1), jnp.float32), pxc, pyc, pxc * pxc, pyc * pyc,
-         pxc * pyc], axis=1)                                   # [PIX, 6]
+    b_term = (jnp.dot(g_rgb, bg[:, None],
+                      preferred_element_type=jnp.float32)
+              + DEPTH_EMPTY * g_d + g_t)                       # [PIX,1]
+    total_contrib = (jnp.sum(g_rgb * (fwd[0:3, :].T
+                                      - t_fin * bg[None, :]), axis=1,
+                             keepdims=True)
+                     + g_d * (fwd[3:4, :].T - DEPTH_EMPTY * t_fin))
 
     def get_dma(slot, chunk_idx):
         return pltpu.make_async_copy(
-            attrs_ref.at[pl.ds(start + chunk_idx * CHUNK, CHUNK), :],
+            attrs_ref.at[:, pl.ds(start + chunk_idx * CHUNK, CHUNK)],
             scratch.at[slot], sems.at[slot])
 
     @pl.when(n_chunks > 0)
@@ -107,38 +103,37 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
             get_dma((i + 1) % 2, i + 1).start()
 
         get_dma(i % 2, i).wait()
-        a = scratch[i % 2]  # [CHUNK, NROWS]
+        a = scratch[i % 2]  # [NROWS, CHUNK]
 
-        sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-        valid = (i * CHUNK + sub) < count
-        mxl = a[:, 0:1] - ox            # [CHUNK, 1] local means
-        myl = a[:, 1:2] - oy
-        ca, cb, cc = a[:, 2:3], a[:, 3:4], a[:, 4:5]
-        dx = pxl - mxl                  # [CHUNK, PIX]
-        dy = pyl - myl
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha_raw = a[:, 5:6] * jnp.exp(power)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        valid = (i * CHUNK + lane) < count
+        dx = px - a[0:1, :]
+        dy = py - a[1:2, :]
+        power = (-0.5 * (a[2:3, :] * dx * dx + a[4:5, :] * dy * dy)
+                 - a[3:4, :] * dx * dy)
+        alpha_raw = a[5:6, :] * jnp.exp(power)
         unclipped = alpha_raw < 0.99
         alpha = jnp.minimum(0.99, alpha_raw)
         live = (alpha >= ALPHA_MIN) & valid & (power <= 0.0)
         alpha = jnp.where(live, alpha, 0.0)
         logs = jnp.log1p(-alpha)
         # Exclusive prefix, matching the forward kernel's recompute.
-        cum_ex = _splat_cumsum(logs, exclusive=True)
+        cum_ex = _lane_cumsum(logs, exclusive=True)
         t_in = t_carry * jnp.exp(cum_ex)
         t_out = t_in * (1.0 - alpha)
         contrib = t_out >= T_STOP
         w = jnp.where(contrib, alpha * t_in, 0.0)
 
         # A_i and running prefix of w_j A_j (inclusive).
-        cd = a[:, 6:10]                                     # [CHUNK, 4]
+        cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0)  # [4,CHUNK]
+        g4 = jnp.concatenate([g_rgb, g_d], axis=1)             # [PIX,4]
         A = jax.lax.dot_general(
-            cd, g4r, (((1,), (0,)), ((), ())),
+            g4, cd, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)             # [CHUNK,PIX]
+            preferred_element_type=jnp.float32)                # [PIX,CHUNK]
         wA = w * A
-        prefix_i = prefix + _splat_cumsum(wA)               # inclusive
-        suffix = total_contrib - prefix_i                   # [CHUNK,PIX]
+        prefix_i = prefix + _lane_cumsum(wA)                   # inclusive
+        suffix = total_contrib - prefix_i                      # [PIX,CHUNK]
 
         one_m = jnp.where(alpha < 1.0, 1.0 - alpha, 1.0)
         d_alpha = jnp.where(
@@ -149,15 +144,20 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         d_alpha_eff = jnp.where(unclipped, d_alpha, 0.0)
         d_power = d_alpha_eff * alpha            # alpha=op*exp(power)
 
-        # ONE moments matmul replaces six per-channel pixel sums.
+        # ONE pixel-moments matmul replaces six per-channel column
+        # sums: dx = px - mx is separable, so every Σ_p d_power·poly
+        # (dx, dy) is a linear combination of Σ_p d_power·{1, px, py,
+        # px², py², px·py}. Local means pair with the local basis.
         mom = jax.lax.dot_general(
-            d_power, basis, (((1,), (0,)), ((), ())),
+            basis, d_power, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)             # [CHUNK, 6]
-        m0 = mom[:, 0:1]
-        mx_, my_ = mom[:, 1:2], mom[:, 2:3]
-        mxx, myy, mxy = mom[:, 3:4], mom[:, 4:5], mom[:, 5:6]
-        cx = mx_ - mxl * m0             # Σ d_power·dx
+            preferred_element_type=jnp.float32)          # [6, CHUNK]
+        mxl = a[0:1, :] - ox                             # [1, CHUNK]
+        myl = a[1:2, :] - oy
+        m0 = mom[0:1, :]
+        mx_, my_ = mom[1:2, :], mom[2:3, :]
+        mxx, myy, mxy = mom[3:4, :], mom[4:5, :], mom[5:6, :]
+        cx = mx_ - mxl * m0              # Σ d_power·dx
         cy = my_ - myl * m0
         cxx = mxx - 2.0 * mxl * mx_ + mxl * mxl * m0   # Σ d_power·dx²
         cyy = myy - 2.0 * myl * my_ + myl * myl * m0
@@ -167,61 +167,63 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         d_c = -0.5 * cyy
         # power depends on means via dx = px - mx:
         # dpower/dmx = a dx + b dy ; dpower/dmy = c dy + b dx
-        d_mx = ca * cx + cb * cy
-        d_my = cc * cy + cb * cx
-        # d_op = d_power / op wherever nonzero (exactly 0 elsewhere).
-        d_opacity = m0 / jnp.maximum(a[:, 5:6], 1e-20)
+        d_mx = a[2:3, :] * cx + a[3:4, :] * cy
+        d_my = a[4:5, :] * cy + a[3:4, :] * cx
+        # d_op = d_power/op wherever nonzero (live => op >= alpha >=
+        # ALPHA_MIN, so the clamp only guards exact-zero rows).
+        d_opacity = m0 / jnp.maximum(a[5:6, :], 1e-20)
 
-        # color/depth grads: w @ g4^T -> [CHUNK, 4]; the g4 hi/lo split
-        # terms ride separate SUBLANES of one packed operand (2 passes).
+        # color/depth grads: w^T @ [g_rgb | g_d]; hi/lo bf16 split with
+        # the g4 terms lane-packed into one operand (2 passes).
         whi = w.astype(jnp.bfloat16)
         wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
-        g4hi = g4r.astype(jnp.bfloat16)
-        g4lo = (g4r - g4hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        g48 = jnp.concatenate([g4hi, g4lo], axis=0)     # [8, PIX]
-
-        def wdot(u, v):  # [CHUNK,PIX] x [k,PIX] -> [CHUNK,k]
-            return jax.lax.dot_general(
-                u, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        wg8 = wdot(whi, g48)
-        wg = wg8[:, 0:4] + wg8[:, 4:8] + wdot(wlo, g4hi)
+        g4hi = g4.astype(jnp.bfloat16)
+        g4lo = (g4 - g4hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        g48 = jnp.concatenate([g4hi, g4lo], axis=1)      # [PIX, 8]
+        wg8 = jax.lax.dot_general(
+            whi, g48, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [CHUNK, 8]
+        wg = (wg8[:, 0:4] + wg8[:, 4:8]
+              + jax.lax.dot_general(
+                  wlo, g4hi, (((0,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32))
 
         grow = jnp.concatenate([
-            d_mx, d_my, d_a, d_b, d_c, d_opacity, wg,
-            jnp.zeros((CHUNK, NROWS - 10), jnp.float32)],
-            axis=1)  # [CHUNK, NROWS]
+            d_mx, d_my, d_a, d_b, d_c, d_opacity, wg.T,
+            jnp.zeros((NROWS - 10, CHUNK), jnp.float32)],
+            axis=0)  # [NROWS, CHUNK]
         gscratch[:, :] = grow
         cp = pltpu.make_async_copy(
             gscratch,
-            gout_ref.at[pl.ds(start + i * CHUNK, CHUNK), :],
+            gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
             gsem)
         cp.start()
         cp.wait()
 
         t_next = t_carry * jnp.exp(
-            jnp.sum(jnp.where(contrib, logs, 0.0), axis=0, keepdims=True))
-        prefix_next = prefix + jnp.sum(wA, axis=0, keepdims=True)
+            jnp.sum(jnp.where(contrib, logs, 0.0), axis=1, keepdims=True))
+        prefix_next = prefix + jnp.sum(wA, axis=1, keepdims=True)
         return i + 1, t_next, prefix_next
 
-    init = (jnp.int32(0), jnp.ones((1, PIX), jnp.float32),
-            jnp.zeros((1, PIX), jnp.float32))
+    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+            jnp.zeros((PIX, 1), jnp.float32))
     i_stop, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # Early-exit leaves later chunks (and their aligned padding) unwritten
-    # in the ANY-space output — zero-fill so the downstream segment
-    # reduction sees clean zeros. Also retires the dangling early-exit
-    # DMA via the shared semaphore order (its slot is never reused here).
+    # Saturation exit leaves chunk i_stop's DMA in flight (started in
+    # body i_stop-1). Retire it, or its stale semaphore signal would let
+    # the next grid step's tile read its slot mid-copy.
     @pl.when(i_stop < n_chunks)
     def _():
         get_dma(i_stop % 2, i_stop).wait()
 
+    # Early-exit leaves later chunks (and their aligned padding) unwritten
+    # in the ANY-space output — zero-fill so the downstream grad
+    # reduction sees clean zeros.
     def zero_fill(i, _):
-        gscratch[:, :] = jnp.zeros((CHUNK, NROWS), jnp.float32)
+        gscratch[:, :] = jnp.zeros((NROWS, CHUNK), jnp.float32)
         cp = pltpu.make_async_copy(
             gscratch,
-            gout_ref.at[pl.ds(start + i * CHUNK, CHUNK), :],
+            gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
             gsem)
         cp.start()
         cp.wait()
@@ -231,18 +233,19 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
 
 
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "interpret"))
-def composite_pallas_bwd(attrs: jnp.ndarray, seg_start: jnp.ndarray,
+def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                          counts: jnp.ndarray, bg_color: jnp.ndarray,
                          tiles8: jnp.ndarray, g_tiles8: jnp.ndarray,
                          tiles_x: int, tiles_y: int,
                          interpret: bool = False) -> jnp.ndarray:
-    """Returns d(attrs) [P_aligned, NROWS].
+    """Returns d(attrs_t) [NROWS, P_aligned].
 
     tiles8 / g_tiles8: forward outputs and their upstream grads,
     [num_tiles, 8, PIX] (rows 0-2 rgb, 3 depth, 4 final-T / alpha grads —
     caller converts d(alpha_out) into row 4 with the proper sign).
     """
-    p_aligned = attrs.shape[0]
+    num_tiles = tiles_x * tiles_y
+    p_aligned = attrs_t.shape[1]
     bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
     t8 = tiles8.reshape(tiles_y, tiles_x, 8, PIX)
     g8 = g_tiles8.reshape(tiles_y, tiles_x, 8, PIX)
@@ -259,19 +262,19 @@ def composite_pallas_bwd(attrs: jnp.ndarray, seg_start: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, NROWS), jnp.float32),
-            pltpu.VMEM((CHUNK, NROWS), jnp.float32),
+            pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((NROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     grads = pl.pallas_call(
         _bwd_kernel,
-        out_shape=jax.ShapeDtypeStruct((p_aligned, NROWS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NROWS, p_aligned), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         input_output_aliases={},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), attrs,
+    )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), attrs_t,
       g8, t8, bg)
     return grads

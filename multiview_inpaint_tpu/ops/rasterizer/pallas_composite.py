@@ -5,28 +5,26 @@ alpha tensors in HBM and pays the full per-tile splat budget everywhere,
 this kernel:
 
 - streams each tile's splats straight from a **pair-sorted attribute
-  array** ``attrs [P, 16]`` in HBM (one XLA gather builds it — the
-  kernel consumes the gather's natural row-major layout, so no relayout
-  copy exists on either side; tiles own contiguous slices, like the
-  CUDA design's sorted key ranges),
+  array** ``attrs [16, P]`` in HBM (one XLA gather builds it; tiles own
+  contiguous slices, like the CUDA design's sorted key ranges),
 - loops over 128-splat chunks with a ``while_loop`` that **exits early**
   when the tile's transmittance saturates (max over pixels < 1e-4) or the
   segment is exhausted — empty tiles do zero compute,
-- keeps every intermediate in VMEM as [CHUNK splats, 256 px] blocks
-  (splats ride sublanes, pixels ride lanes — the orientation in which
-  per-splat scalars broadcast along lanes and the prefix/color matmuls
-  are MXU-native), with color/depth accumulation as a
-  [4, CHUNK] x [CHUNK, PIX] matmul,
-- prefetches the NEXT tile's first chunk during the current tile's
-  compute (per-tile scratch slot pairs keyed on row parity) and
-  double-buffers within the tile.
+- keeps every intermediate in VMEM ([256 px, 128 splat] blocks), with the
+  color/depth accumulation hitting the MXU as a [256,128]x[128,4] matmul,
+- double-buffers the chunk DMA so the next chunk loads while the current
+  one composites.
 
-Packed attribute columns (lane dim): 0 mean_x, 1 mean_y, 2 conic_a,
+Packed attribute rows (sublane dim): 0 mean_x, 1 mean_y, 2 conic_a,
 3 conic_b, 4 conic_c, 5 opacity, 6 r, 7 g, 8 b, 9 depth, 10-15 pad.
+(A 10-row layout was tried: Mosaic requires sublane slice sizes to be
+multiples of the (8,128) tiling, so 10-row chunk DMAs do not compile,
+and the measured gather is per-row-overhead-bound — narrower rows only
+bought ~8%. 16 rows stand.)
 Output per tile: [8, 256] = rows (r, g, b, depth, final_T, pad...).
 
-Forward-only: gradients route through ``pallas_backward`` via
-``jax.custom_vjp`` — see ``api.render(backend=...)``.
+Forward-only: gradients route through the XLA path via ``jax.custom_vjp``
+(recompute) — see ``api.render(backend=...)``.
 """
 
 from __future__ import annotations
@@ -44,29 +42,30 @@ TILE_H = 16
 TILE_W = 16
 PIX = TILE_H * TILE_W  # 256
 CHUNK = 128
-NROWS = 16  # packed attribute columns (see layout above)
+NROWS = 16  # packed attribute rows (see layout above)
 
 
-def _splat_cumsum(x, exclusive: bool = False):
-    """Cumsum along the sublane (first) axis of a [CHUNK, ..] block, as
-    a triangular-ones MXU matmul (no cumsum primitive in Mosaic);
+def _lane_cumsum(x, exclusive: bool = False):
+    """Cumsum along the lane (last) axis of a [.., CHUNK] block, as a
+    triangular-ones MXU matmul (no cumsum primitive in Mosaic);
     ``exclusive`` uses the strictly-lower triangle. The operand rides as
     a manual hi/lo bf16 split — two single-pass bf16 matmuls with f32
     accumulation reach ~2^-16 relative accuracy at 1/3 the cost of
     Precision.HIGHEST (Mosaic supports neither HIGH nor f32-input dots
     without full passes); a Hillis-Steele rotate-scan on the VPU
-    measured *slower* than the MXU matmul on v5e. The ones matrix is
-    exact in bf16, so only x is split."""
+    measured *slower* than the MXU matmul on v5e (22.6 vs 18.3 ms for
+    the 1080p composite). The ones matrix is exact in bf16, so only x
+    is split."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    tri = ((cols < rows) if exclusive else (cols <= rows)).astype(
+    tri = ((rows < cols) if exclusive else (rows <= cols)).astype(
         jnp.bfloat16)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def dot(v):
         return jax.lax.dot_general(
-            tri, v, (((1,), (0,)), ((), ())),
+            v, tri, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     return dot(hi) + dot(lo)
@@ -86,7 +85,7 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
         @pl.when(counts_ref[row] > 0)
         def _():
             pltpu.make_async_copy(
-                attrs_ref.at[pl.ds(start, CHUNK), :], scratch.at[slot],
+                attrs_ref.at[:, pl.ds(start, CHUNK)], scratch.at[slot],
                 sems.at[slot]).start()
 
     @pl.when(jnp.logical_and(t == 0, txg == 0))
@@ -95,8 +94,8 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
 
     def one_tile(g, _):
         tx = txg * group + g
-        # Tile pixel coordinates [1, PIX].
-        lin = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+        # Tile pixel coordinates [PIX, 1].
+        lin = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
         px = (tx * TILE_W + jnp.mod(lin, TILE_W)).astype(jnp.float32)
         py = (t * TILE_H + lin // TILE_W).astype(jnp.float32)
 
@@ -110,7 +109,7 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
 
         def get_dma(slot, chunk_idx):
             return pltpu.make_async_copy(
-                attrs_ref.at[pl.ds(start + chunk_idx * CHUNK, CHUNK), :],
+                attrs_ref.at[:, pl.ds(start + chunk_idx * CHUNK, CHUNK)],
                 scratch.at[slot],
                 sems.at[slot],
             )
@@ -137,59 +136,58 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
                 get_dma(base + (i + 1) % 2, i + 1).start()
 
             get_dma(base + i % 2, i).wait()
-            a = scratch[base + i % 2]  # [CHUNK, NROWS]
+            a = scratch[base + i % 2]  # [NROWS, CHUNK]
 
-            sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-            valid = (i * CHUNK + sub) < count  # [CHUNK, 1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            valid = (i * CHUNK + lane) < count  # [1, CHUNK]
 
-            dx = px - a[:, 0:1]          # [CHUNK, PIX]
-            dy = py - a[:, 1:2]
-            power = (-0.5 * (a[:, 2:3] * dx * dx + a[:, 4:5] * dy * dy)
-                     - a[:, 3:4] * dx * dy)
-            alpha = jnp.minimum(0.99, a[:, 5:6] * jnp.exp(power))
+            dx = px - a[0:1, :]          # [PIX, CHUNK]
+            dy = py - a[1:2, :]
+            power = (-0.5 * (a[2:3, :] * dx * dx + a[4:5, :] * dy * dy)
+                     - a[3:4, :] * dx * dy)
+            alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
             alpha = jnp.where(
                 (alpha >= ALPHA_MIN) & valid & (power <= 0.0), alpha, 0.0)
             logs = jnp.log1p(-alpha)
             # exclusive prefix -> T entering each splat directly; the
             # inclusive-prefix + divide variant measured 0.5 ms/frame
             # slower at 1080p (A/B, PERF.md)
-            cum_ex = _splat_cumsum(logs, exclusive=True)
+            cum_ex = _lane_cumsum(logs, exclusive=True)
             t_in = t_carry * jnp.exp(cum_ex)
             t_out = t_in * (1.0 - alpha)
             contrib = t_out >= T_STOP
-            w = jnp.where(contrib, alpha * t_in, 0.0)  # [CHUNK, PIX]
+            w = jnp.where(contrib, alpha * t_in, 0.0)  # [PIX, CHUNK]
 
-            # [8, CHUNK] @ [CHUNK, PIX] -> MXU. Manual hi/lo bf16 split
+            # [PIX, CHUNK] @ [CHUNK, 4] -> MXU. Manual hi/lo bf16 split
             # (~2^-16 relative accuracy; Precision.HIGHEST's 6 passes
             # measured 1.3 ms/frame slower at 1080p, A/B in PERF.md).
-            # The cd hi and lo terms ride separate LANES of one packed
-            # operand, so the split costs 2 passes instead of 3.
-            cd = a[:, 6:10]                            # [CHUNK, 4]
+            # The cd hi/lo terms ride separate LANES of one packed
+            # operand: 2 passes instead of 3.
+            cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0).T
             whi = w.astype(jnp.bfloat16)
             wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
             cdb = cd.astype(jnp.bfloat16)
             cdl = (cd - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
             cd8 = jnp.concatenate([cdb, cdl], axis=1)  # [CHUNK, 8]
-
-            def cdot(c, v):  # [CHUNK,k]^T @ [CHUNK,PIX] -> [k,PIX]
-                return jax.lax.dot_general(
-                    c, v, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-
-            acc8 = cdot(cd8, whi)          # rows 0-3 cdb·whi, 4-7 cdl·whi
-            acc = acc8[0:4, :] + acc8[4:8, :] + cdot(cdb, wlo)
-            rgb_acc = rgb_acc + acc[0:3, :]
-            d_acc = d_acc + acc[3:4, :]
-            # VPU sublane reduce: an MXU ones-row dot here measured a
+            acc8 = jax.lax.dot_general(
+                whi, cd8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [PIX, 8]
+            acc = (acc8[:, 0:4] + acc8[:, 4:8]
+                   + jax.lax.dot_general(
+                       wlo, cdb, (((1,), (0,)), ((), ())),
+                       preferred_element_type=jnp.float32))
+            rgb_acc = rgb_acc + acc[:, :3]
+            d_acc = d_acc + acc[:, 3:4]
+            # VPU lane reduce: an MXU ones-column dot here measured a
             # 4 ms/frame REGRESSION (small-N matmuls stall the pipe).
             t_next = t_carry * jnp.exp(
-                jnp.sum(jnp.where(contrib, logs, 0.0), axis=0,
+                jnp.sum(jnp.where(contrib, logs, 0.0), axis=1,
                         keepdims=True))
             return i + 1, t_next, rgb_acc, d_acc
 
-        init = (jnp.int32(0), jnp.ones((1, PIX), jnp.float32),
-                jnp.zeros((3, PIX), jnp.float32),
-                jnp.zeros((1, PIX), jnp.float32))
+        init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
+                jnp.zeros((PIX, 3), jnp.float32),
+                jnp.zeros((PIX, 1), jnp.float32))
         i_end, t_fin, rgb_acc, d_acc = jax.lax.while_loop(cond, body,
                                                           init)
 
@@ -200,21 +198,22 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
         def _():
             get_dma(base + i_end % 2, i_end).wait()
 
-        bg = bg_ref[0:3, 0:1]  # [3, 1]
-        rgb = rgb_acc + t_fin * bg
+        bg = bg_ref[0:3, 0]  # [3]
+        rgb = rgb_acc + t_fin * bg[None, :]
         dep = d_acc + t_fin * DEPTH_EMPTY
-        out_ref[0, g] = jnp.concatenate(
-            [rgb, dep, t_fin, jnp.zeros((3, PIX), jnp.float32)], axis=0)
+        out = jnp.concatenate(
+            [rgb, dep, t_fin, jnp.zeros((PIX, 3), jnp.float32)], axis=1)
+        out_ref[0, g] = out.T  # [8, PIX]
         return 0
 
     jax.lax.fori_loop(0, group, one_tile, 0)
 
 
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "interpret"))
-def composite_pallas(attrs: jnp.ndarray, seg_start: jnp.ndarray,
+def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                      counts: jnp.ndarray, bg_color: jnp.ndarray,
                      tiles_x: int, tiles_y: int, interpret: bool = False):
-    """attrs [P, NROWS] pair-sorted packed attrs; returns [T, 8, PIX]."""
+    """attrs_t [NROWS, P] pair-sorted packed attrs; returns [T, 8, PIX]."""
     num_tiles = tiles_x * tiles_y
     # Batch GROUP tiles per grid step: per-step launch overhead (~2 us)
     # dominates at 1 tile/step (8k steps at 1080p); the fori_loop
@@ -232,7 +231,7 @@ def composite_pallas(attrs: jnp.ndarray, seg_start: jnp.ndarray,
                                lambda t, txg, *_: (t, txg, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, CHUNK, NROWS), jnp.float32),
+            pltpu.VMEM((4, NROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -244,15 +243,15 @@ def composite_pallas(attrs: jnp.ndarray, seg_start: jnp.ndarray,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(num_tiles) * PIX * CHUNK * 24,
-            bytes_accessed=int(attrs.size) * 4 + num_tiles * PIX * 32,
+            bytes_accessed=int(attrs_t.size) * 4 + num_tiles * PIX * 32,
             transcendentals=int(num_tiles) * PIX * CHUNK * 2,
         ),
-    )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), attrs, bg)
+    )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), attrs_t, bg)
     return out.reshape(num_tiles, 8, PIX)
 
 
 def pack_attrs(means2d, conic, opacity, color, depth) -> jnp.ndarray:
-    """Dense per-gaussian attrs -> packed [N, NROWS] (layout above)."""
+    """Dense per-gaussian attrs -> packed [N, NROWS] (row layout above)."""
     n = means2d.shape[0]
     return jnp.concatenate([
         means2d,                       # 0,1

@@ -173,20 +173,20 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         # ALPHA_MIN, so the clamp only guards exact-zero rows).
         d_opacity = m0 / jnp.maximum(a[5:6, :], 1e-20)
 
-        # color/depth grads: w^T @ [g_rgb | g_d]; hi/lo bf16 split with
-        # the g4 terms lane-packed into one operand (2 passes).
+        # color/depth grads: w^T @ [g_rgb | g_d]; 3-pass hi/lo bf16
+        # split (lane-packing the terms forces unaligned-lane output
+        # slices -> relayouts; see the forward kernel's note).
         whi = w.astype(jnp.bfloat16)
         wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
         g4hi = g4.astype(jnp.bfloat16)
         g4lo = (g4 - g4hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        g48 = jnp.concatenate([g4hi, g4lo], axis=1)      # [PIX, 8]
-        wg8 = jax.lax.dot_general(
-            whi, g48, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [CHUNK, 8]
-        wg = (wg8[:, 0:4] + wg8[:, 4:8]
-              + jax.lax.dot_general(
-                  wlo, g4hi, (((0,), (0,)), ((), ())),
-                  preferred_element_type=jnp.float32))
+
+        def wdot(u, v):
+            return jax.lax.dot_general(
+                u, v, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        wg = wdot(whi, g4hi) + wdot(wlo, g4hi) + wdot(whi, g4lo)
 
         grow = jnp.concatenate([
             d_mx, d_my, d_a, d_b, d_c, d_opacity, wg.T,

@@ -158,23 +158,26 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
             contrib = t_out >= T_STOP
             w = jnp.where(contrib, alpha * t_in, 0.0)  # [PIX, CHUNK]
 
-            # [PIX, CHUNK] @ [CHUNK, 4] -> MXU. Manual hi/lo bf16 split
-            # (~2^-16 relative accuracy; Precision.HIGHEST's 6 passes
-            # measured 1.3 ms/frame slower at 1080p, A/B in PERF.md).
-            # The cd hi/lo terms ride separate LANES of one packed
-            # operand: 2 passes instead of 3.
+            # [PIX, CHUNK] @ [CHUNK, 4] -> MXU. Manual 3-pass hi/lo
+            # bf16 split: Precision.HIGHEST costs 6 full passes and
+            # measured 1.3 ms/frame slower at 1080p (A/B, PERF.md);
+            # the split keeps ~2^-16 relative accuracy. (Lane-packing
+            # the hi/lo terms into one [CHUNK,8] operand measured
+            # +1.9 ms: the [:, 0:4]/[:, 4:8] output slices sit at
+            # unaligned lane offsets and force relayouts.)
             cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0).T
             whi = w.astype(jnp.bfloat16)
             wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
             cdb = cd.astype(jnp.bfloat16)
             cdl = (cd - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
-            cd8 = jnp.concatenate([cdb, cdl], axis=1)  # [CHUNK, 8]
-            acc8 = jax.lax.dot_general(
-                whi, cd8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # [PIX, 8]
-            acc = (acc8[:, 0:4] + acc8[:, 4:8]
+            acc = (jax.lax.dot_general(
+                       whi, cdb, (((1,), (0,)), ((), ())),
+                       preferred_element_type=jnp.float32)
                    + jax.lax.dot_general(
                        wlo, cdb, (((1,), (0,)), ((), ())),
+                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(
+                       whi, cdl, (((1,), (0,)), ((), ())),
                        preferred_element_type=jnp.float32))
             rgb_acc = rgb_acc + acc[:, :3]
             d_acc = d_acc + acc[:, 3:4]

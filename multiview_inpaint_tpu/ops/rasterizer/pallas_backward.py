@@ -82,14 +82,32 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
                              keepdims=True)
                      + g_d * (fwd[3:4, :].T - DEPTH_EMPTY * t_fin))
 
+    # Tiles alternate scratch slot pairs on global row parity; a tile's
+    # chunk 0 is prefetched by its predecessor (incl. across grid steps)
+    # so the first-chunk DMA latency overlaps the predecessor's compute.
+    base = (row % 2) * 2
+
+    def issue_chunk0(prow, slot):
+        pstart = pl.multiple_of(starts_ref[prow], CHUNK)
+
+        @pl.when(counts_ref[prow] > 0)
+        def _():
+            pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(pstart, CHUNK)], scratch.at[slot],
+                sems.at[slot]).start()
+
+    @pl.when(row == 0)
+    def _():
+        issue_chunk0(0, 0)
+
+    @pl.when(row + 1 < pl.num_programs(0) * tiles_x)
+    def _():
+        issue_chunk0(row + 1, ((row + 1) % 2) * 2)
+
     def get_dma(slot, chunk_idx):
         return pltpu.make_async_copy(
             attrs_ref.at[:, pl.ds(start + chunk_idx * CHUNK, CHUNK)],
             scratch.at[slot], sems.at[slot])
-
-    @pl.when(n_chunks > 0)
-    def _():
-        get_dma(0, 0).start()
 
     def cond(state):
         i, t_carry, _ = state
@@ -100,10 +118,10 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
 
         @pl.when(i + 1 < n_chunks)
         def _():
-            get_dma((i + 1) % 2, i + 1).start()
+            get_dma(base + (i + 1) % 2, i + 1).start()
 
-        get_dma(i % 2, i).wait()
-        a = scratch[i % 2]  # [NROWS, CHUNK]
+        get_dma(base + i % 2, i).wait()
+        a = scratch[base + i % 2]  # [NROWS, CHUNK]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         valid = (i * CHUNK + lane) < count
@@ -124,13 +142,22 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         contrib = t_out >= T_STOP
         w = jnp.where(contrib, alpha * t_in, 0.0)
 
-        # A_i and running prefix of w_j A_j (inclusive).
+        # A_i and running prefix of w_j A_j (inclusive). 3-pass hi/lo
+        # bf16 split: HIGHEST costs 6 full passes (and the k=4
+        # contraction pads to 128 on the MXU either way).
         cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0)  # [4,CHUNK]
         g4 = jnp.concatenate([g_rgb, g_d], axis=1)             # [PIX,4]
-        A = jax.lax.dot_general(
-            g4, cd, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)                # [PIX,CHUNK]
+        g4h = g4.astype(jnp.bfloat16)
+        g4l = (g4 - g4h.astype(jnp.float32)).astype(jnp.bfloat16)
+        cdh = cd.astype(jnp.bfloat16)
+        cdl = (cd - cdh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def adot(u, v):
+            return jax.lax.dot_general(
+                u, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        A = adot(g4h, cdh) + adot(g4l, cdh) + adot(g4h, cdl)
         wA = w * A
         prefix_i = prefix + _lane_cumsum(wA)                   # inclusive
         suffix = total_contrib - prefix_i                      # [PIX,CHUNK]
@@ -148,10 +175,17 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         # sums: dx = px - mx is separable, so every Σ_p d_power·poly
         # (dx, dy) is a linear combination of Σ_p d_power·{1, px, py,
         # px², py², px·py}. Local means pair with the local basis.
-        mom = jax.lax.dot_general(
-            basis, d_power, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)          # [6, CHUNK]
+        # 2-pass split: the basis entries are small integers (<= 225),
+        # exact in bf16, so only d_power needs hi/lo terms.
+        bb = basis.astype(jnp.bfloat16)
+        dph = d_power.astype(jnp.bfloat16)
+        dpl = (d_power - dph.astype(jnp.float32)).astype(jnp.bfloat16)
+        mom = (jax.lax.dot_general(
+                   bb, dph, (((1,), (0,)), ((), ())),
+                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(
+                   bb, dpl, (((1,), (0,)), ((), ())),
+                   preferred_element_type=jnp.float32))  # [6, CHUNK]
         mxl = a[0:1, :] - ox                             # [1, CHUNK]
         myl = a[1:2, :] - oy
         m0 = mom[0:1, :]
@@ -192,13 +226,19 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
             d_mx, d_my, d_a, d_b, d_c, d_opacity, wg.T,
             jnp.zeros((NROWS - 10, CHUNK), jnp.float32)],
             axis=0)  # [NROWS, CHUNK]
-        gscratch[:, :] = grow
-        cp = pltpu.make_async_copy(
-            gscratch,
+        # Double-buffered writeback: retire the slot's previous DMA
+        # just before reuse instead of stalling on every chunk.
+        @pl.when(i >= 2)
+        def _():
+            pltpu.make_async_copy(
+                gscratch.at[i % 2],
+                gout_ref.at[:, pl.ds(start + (i - 2) * CHUNK, CHUNK)],
+                gsem.at[i % 2]).wait()
+        gscratch[i % 2] = grow
+        pltpu.make_async_copy(
+            gscratch.at[i % 2],
             gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
-            gsem)
-        cp.start()
-        cp.wait()
+            gsem.at[i % 2]).start()
 
         t_next = t_carry * jnp.exp(
             jnp.sum(jnp.where(contrib, logs, 0.0), axis=1, keepdims=True))
@@ -209,22 +249,32 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
             jnp.zeros((PIX, 1), jnp.float32))
     i_stop, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # Saturation exit leaves chunk i_stop's DMA in flight (started in
-    # body i_stop-1). Retire it, or its stale semaphore signal would let
-    # the next grid step's tile read its slot mid-copy.
+    # Retire the in-flight writebacks of the last (up to) two chunks.
+    def drain(j, _):
+        pltpu.make_async_copy(
+            gscratch.at[j % 2],
+            gout_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
+            gsem.at[j % 2]).wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(i_stop - 2, 0), i_stop, drain, 0)
+
+    # Saturation exit leaves chunk i_stop's read DMA in flight (started
+    # in body i_stop-1). Retire it, or its stale semaphore signal would
+    # let the next grid step's tile read its slot mid-copy.
     @pl.when(i_stop < n_chunks)
     def _():
-        get_dma(i_stop % 2, i_stop).wait()
+        get_dma(base + i_stop % 2, i_stop).wait()
 
     # Early-exit leaves later chunks (and their aligned padding) unwritten
     # in the ANY-space output — zero-fill so the downstream grad
     # reduction sees clean zeros.
     def zero_fill(i, _):
-        gscratch[:, :] = jnp.zeros((NROWS, CHUNK), jnp.float32)
+        gscratch[i % 2] = jnp.zeros((NROWS, CHUNK), jnp.float32)
         cp = pltpu.make_async_copy(
-            gscratch,
+            gscratch.at[i % 2],
             gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
-            gsem)
+            gsem.at[i % 2])
         cp.start()
         cp.wait()
         return 0
@@ -262,10 +312,10 @@ def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
+            pltpu.VMEM((4, NROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((NROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
         ],
     )
     grads = pl.pallas_call(

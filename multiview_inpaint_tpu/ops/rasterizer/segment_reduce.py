@@ -88,6 +88,12 @@ def _gp_bwd(res, g):
     p = gid.shape[0]
     pos = jnp.arange(p, dtype=jnp.int32)
     gid_s, pos_s = jax.lax.sort((gid, pos), num_keys=1)
+    # (Layout note: the cotangent arrives as a column-major transpose
+    # view of the pallas backward's [NROWS, P] output, so this gather
+    # reads strided — but A/B'd against a forced row-major
+    # materialization it costs the same 5.8 ms at 884k pairs: these
+    # big row gathers are random-access latency-bound, not layout-
+    # bound, matching the equally-priced row-major forward gather.)
     gg = g[pos_s]                                   # [P, C] grouped rows
     # Sentinel-id slots include aligned-layout tail slots no backward
     # kernel ever writes; zero them so garbage can't ride the prefix.

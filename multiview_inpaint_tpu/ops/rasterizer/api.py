@@ -161,6 +161,10 @@ def render(params: GaussianParams, camera: RenderCamera,
         camera.tan_fovx, camera.tan_fovy, camera.width, camera.height,
         sh_degree, scaling_modifier, means2d_offset)
 
+    packed = (pallas_composite.pack_attrs(
+        proj.means2d, proj.conic, proj.opacity, proj.color, proj.depth)
+        if backend == "pallas" else None)
+
     bins = binning.bin_gaussians(
         jax.lax.stop_gradient(proj.means2d),
         jax.lax.stop_gradient(proj.radius),
@@ -171,20 +175,21 @@ def render(params: GaussianParams, camera: RenderCamera,
                        else 0),
         extent=jax.lax.stop_gradient(proj.extent),
         pad_budget=pad_budget,
-        expand_kernel=(backend == "pallas"), interpret=interpret)
+        expand_kernel=(backend == "pallas"), interpret=interpret,
+        aux=packed)
 
     if backend == "pallas":
         if (tile_h, tile_w) != (pallas_composite.TILE_H,
                                 pallas_composite.TILE_W):
             raise ValueError("pallas backend requires 16x16 tiles")
-        packed = pallas_composite.pack_attrs(
-            proj.means2d, proj.conic, proj.opacity, proj.color, proj.depth)
-        if bins.order is not None:
-            # gid_sorted is in depth-rank space: reorder the attribute
-            # table once (N-sized gather) so the big pair gather needs no
-            # order[] indirection. Custom VJP: permutation scatter-add
-            # == inverse-permutation gather (segment_reduce).
-            packed = segment_reduce.permute_rows(packed, bins.order)
+        if bins.aux_sorted is not None:
+            # gid_sorted is in depth-rank space: the attribute table was
+            # reordered inside binning, riding the SAME single N-row
+            # gather as the rect table (these permutation gathers are
+            # latency-bound, so one pass costs what two did). Custom
+            # VJP: permutation scatter-add == inverse-permutation
+            # gather (segment_reduce.permute_rows).
+            packed = bins.aux_sorted
         # Sentinel row (id == N) for alignment padding: zero opacity.
         packed = jnp.concatenate(
             [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)])

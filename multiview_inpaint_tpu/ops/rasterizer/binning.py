@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 _INT_MAX = jnp.int32(2 ** 31 - 1)
@@ -58,6 +59,9 @@ class TileBins(NamedTuple):
     # id-sorted pair order (aligned path only): feeds the double-sort
     # gradient reduction (segment_reduce.gather_pairs).
     rank_lo: jnp.ndarray | None = None
+    # caller-supplied per-gaussian rows permuted into rank order (rides
+    # the same single N-row gather as the rect table; differentiable).
+    aux_sorted: jnp.ndarray | None = None
 
 
 def _delta(v):
@@ -119,7 +123,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   extent: jnp.ndarray | None = None,
                   pad_budget: int | None = None,
                   expand_kernel: bool = False,
-                  interpret: bool = False) -> TileBins:
+                  interpret: bool = False,
+                  aux: jnp.ndarray | None = None) -> TileBins:
     """``aligned_chunk`` > 0 lays the sorted pairs out so every tile's
     segment starts at a chunk-aligned offset (Mosaic-provable DMA slices
     for the Pallas kernel); ``gid_sorted`` then has length
@@ -166,9 +171,26 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     # increasing starts over the active prefix).
     gid_bits = max(1, n.bit_length())  # 2**bits > n: room for sentinel n
     packed_ok = (num_tiles + 1) < (1 << (31 - gid_bits))
+    aux_sorted = None
     if packed_ok:
         order = jnp.argsort(jnp.where(count > 0, depth, jnp.inf))
-        tab = jnp.stack([x0, y0, rect_w, count], axis=1)[order]
+        tab = jnp.stack([x0, y0, rect_w, count], axis=1)
+        if aux is not None:
+            # ONE combined N-row gather for the rect table and the
+            # caller's attribute rows (these permutation gathers are
+            # random-access latency-bound, so one pass at 20 lanes
+            # costs what one at 4 does). Int lanes ride as bitcasts;
+            # the aux lanes stay differentiable via the
+            # inverse-permutation custom VJP.
+            from .segment_reduce import permute_rows
+            big = permute_rows(
+                jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(tab, jnp.float32),
+                     aux], axis=1), order)
+            tab = jax.lax.bitcast_convert_type(big[:, :4], jnp.int32)
+            aux_sorted = big[:, 4:]
+        else:
+            tab = tab[order]
         x0, y0, rect_w, count = (tab[:, 0], tab[:, 1], tab[:, 2],
                                  tab[:, 3])
         active = count > 0
@@ -211,7 +233,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         return _aligned_bins(key, active, x0, y0, rect_w, starts, ends,
                              total, n, gid_bits, tiles_x, tiles_y,
                              num_tiles, pair_budget, aligned_chunk, order,
-                             pad_budget)
+                             pad_budget)._replace(aux_sorted=aux_sorted)
 
     if packed_ok:
         key_s = jnp.sort(key)
@@ -272,7 +294,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
 
     return TileBins(ids=ids, valid=valid, counts=counts,
                     total_pairs=total, gid_sorted=gid_s,
-                    seg_start=seg_start.astype(jnp.int32), order=order)
+                    seg_start=seg_start.astype(jnp.int32), order=order,
+                    aux_sorted=aux_sorted)
 
 
 def _aligned_bins(key, active, x0, y0, rect_w, starts, ends, total, n,

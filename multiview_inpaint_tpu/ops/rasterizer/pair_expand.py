@@ -231,7 +231,7 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(nb_pad // GROUP,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # table (HBM)
             pl.BlockSpec((GROUP, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),     # baselines
         ],

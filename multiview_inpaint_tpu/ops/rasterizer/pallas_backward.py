@@ -303,14 +303,14 @@ def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # attrs (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),   # attrs (HBM)
             pl.BlockSpec((1, 1, 8, PIX), lambda t, tx, *_: (t, tx, 0, 0),
                          memory_space=pltpu.VMEM),  # upstream grads
             pl.BlockSpec((1, 1, 8, PIX), lambda t, tx, *_: (t, tx, 0, 0),
                          memory_space=pltpu.VMEM),  # forward outputs
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((4, NROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),

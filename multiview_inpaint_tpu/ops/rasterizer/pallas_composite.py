@@ -227,7 +227,7 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x // group),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # attrs stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # attrs stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
         ],
         out_specs=pl.BlockSpec((1, group, 8, PIX),

@@ -63,12 +63,12 @@ GROUP = 8        # blocks per grid step (amortizes per-step overhead)
 BIG = 3.0e7      # sentinel start: beyond any slot index, f32-exact enough
 INT_MAX = 2 ** 31 - 1  # python int: jnp constants would be captured consts
 
-# Lane map of the bf16 table (within 128-lane rows):
-#   0,1,2: starts hi/mid/lo (indicator compare operand, never dotted)
-#   3,4:   d_starts hi/lo
-#   5:     d_x0    6: d_y0    7: d_w    8: d_count
-_L_S0, _L_S1, _L_S2 = 0, 1, 2
-_L_DS_HI, _L_DS_LO, _L_DX, _L_DY, _L_DW, _L_DC = 3, 4, 5, 6, 7, 8
+# Lane map of the bf16 table (within 128-lane rows). The DOTTED
+# channels sit in lanes 0-7 so phase 1 stores only the [0:8] sublane
+# slice of each block's [128, B] matmul; the starts compare operand
+# (never dotted) rides lanes 8-10.
+_L_DS_HI, _L_DS_LO, _L_DX, _L_DY, _L_DW, _L_DC = 0, 1, 2, 3, 4, 5
+_L_S0, _L_S1, _L_S2 = 8, 9, 10
 # Baseline channels (lanes of the base operand): 1 starts, 2 x0, 3 y0,
 # 4 w, 5 count — matching the delta channel semantics.
 
@@ -106,9 +106,10 @@ def _kernel(gid_bits, tiles_x, g0r_ref, total_ref, table_ref, base_ref,
         ind = (s <= j).astype(jnp.bfloat16)        # [K, B]
         # ONE bf16 matmul: [128, B] = table^T @ indicator; hi/lo split
         # terms live in separate lanes and are summed from output rows.
+        # Only the 8 dotted-channel rows are stored.
         vals_s[g] = jax.lax.dot_general(
             tab, ind, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32)[0:8, :]
         return 0
 
     jax.lax.fori_loop(0, GROUP, one_block, 0)
@@ -188,17 +189,19 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
                                          vf]))
 
     ds_hi, ds_lo = _bf16_pair(delta(starts_c))
+    zero = jnp.zeros_like(s_hi)
     chans = jnp.stack([
-        s_hi, s_mid, s_lo,
         ds_hi, ds_lo,
         delta(x0_c).astype(jnp.bfloat16),
         delta(y0_c).astype(jnp.bfloat16),
         delta(w_c).astype(jnp.bfloat16),
         active_c.astype(jnp.bfloat16),
-    ], axis=1)                                        # [N, 9]
+        zero, zero,
+        s_hi, s_mid, s_lo,
+    ], axis=1)                                        # [N, 11]
     rows = -(-(n + K) // 16) * 16
     table = jnp.zeros((rows, 128), jnp.bfloat16)
-    table = table.at[:, 0].set(jnp.bfloat16(BIG))  # pad rows never fire
+    table = table.at[:, _L_S0].set(jnp.bfloat16(BIG))  # pads never fire
     table = table.at[:n, :chans.shape[1]].set(chans)
 
     # per-block first-gaussian window origin (16-aligned: bf16 sublane
@@ -238,7 +241,7 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
         out_specs=pl.BlockSpec((GROUP, B), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((GROUP, 128, B), jnp.float32),  # phase-1 sums
+            pltpu.VMEM((GROUP, 8, B), jnp.float32),    # phase-1 sums
             pltpu.VMEM((2, K, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -18,14 +18,18 @@ primitives designed around what is fast on TPU:
    rank order),
 4. per-tile segments:
    - XLA path: searchsorted -> dense [T, K] id gather;
-   - Pallas path (``aligned_chunk`` > 0): segments are chunk-aligned **by
-     construction** — per-tile counts are known *before* the sort from an
+   - Pallas path (``aligned_chunk`` > 0 + packed keys): segments stay
+     **unaligned** — per-tile counts are known *without* the sort from an
      MXU coverage histogram (each rect is an outer product of an
      x-interval and a y-interval indicator, so the whole histogram is two
-     matmuls), and ``aligned_len - count`` sentinel padding pairs per
-     tile are injected into the same sort with keys that order after the
-     tile's real pairs. The sorted array then *is* the aligned layout —
-     no searchsorted, no relayout pass.
+     matmuls), and seg_start is their exclusive cumsum. The compositing
+     kernels DMA each segment from the 128-aligned enclosing window
+     (``floor128(start)``, a Mosaic-provable offset) and mask the
+     out-of-segment lanes, so NO alignment padding pairs exist: the sort,
+     the P-row attribute gather, the transpose and the backward
+     double-sort all run over true pairs only. (Round 1/2 injected
+     sentinel pad pairs into the sort to make segments aligned by
+     construction; at 1080p that was ~23% of all sorted/gathered slots.)
 
 Everything is static-shaped; overflow beyond the pair budget or K is
 reported so callers can grow buffers (doubling schedule) instead of
@@ -51,9 +55,8 @@ class TileBins(NamedTuple):
     # depth-RANK space when ``order`` is set (index into params[order])
     seg_start: jnp.ndarray    # [T] int32 segment starts into gid_sorted
     order: jnp.ndarray | None  # [N] depth argsort, or None (fallback)
-    # true alignment-padding pair count; > pad_budget means the aligned
-    # layout overflowed and the caller must grow pad_budget (doubling,
-    # like pair_budget).
+    # alignment-padding count (generic fallback layout only; the packed
+    # pallas path keeps segments unaligned and pays zero pads).
     pad_pairs: jnp.ndarray = 0
     # [N+2] int32 segment boundaries of each depth-rank row's pairs in
     # id-sorted pair order (aligned path only): feeds the double-sort
@@ -125,18 +128,13 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   expand_kernel: bool = False,
                   interpret: bool = False,
                   aux: jnp.ndarray | None = None) -> TileBins:
-    """``aligned_chunk`` > 0 lays the sorted pairs out so every tile's
-    segment starts at a chunk-aligned offset (Mosaic-provable DMA slices
-    for the Pallas kernel); ``gid_sorted`` then has length
-    pair_budget + pad_budget with sentinel id = N (callers pad the
-    attribute table with one zero row).
-
-    ``pad_budget`` bounds the injected alignment-padding pairs. The safe
-    worst case (default) is num_tiles*(aligned_chunk-1), but real scenes
-    need ~num_tiles*chunk/2 — every padding slot rides the pair sort, so
-    a tighter budget cuts the dominant sort. Overflow (pad_pairs >
-    pad_budget) corrupts the aligned layout; callers must check and grow,
-    exactly like pair_budget."""
+    """``aligned_chunk`` > 0 selects the Pallas segment layout. With
+    packed keys the layout is UNALIGNED (no padding pairs at all — the
+    kernels DMA from the 128-aligned enclosing window and mask lanes);
+    ``gid_sorted`` has length pair_budget with sentinel id = N past the
+    true total (callers pad the attribute table with one zero row).
+    ``pad_budget`` is only honored by the generic non-packed fallback,
+    which still materializes an aligned relayout."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
 
@@ -228,12 +226,10 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
             key = None
 
     if aligned_chunk and packed_ok:
-        if pad_budget is None:
-            pad_budget = num_tiles * (aligned_chunk - 1)
-        return _aligned_bins(key, active, x0, y0, rect_w, starts, ends,
-                             total, n, gid_bits, tiles_x, tiles_y,
-                             num_tiles, pair_budget, aligned_chunk, order,
-                             pad_budget)._replace(aux_sorted=aux_sorted)
+        return _seg_bins(key, active, x0, y0, rect_w, starts, ends,
+                         total, n, gid_bits, tiles_x, tiles_y,
+                         num_tiles, pair_budget,
+                         order)._replace(aux_sorted=aux_sorted)
 
     if packed_ok:
         key_s = jnp.sort(key)

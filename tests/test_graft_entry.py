@@ -25,7 +25,8 @@ def test_dryrun_multichip_forces_cpu_in_fresh_subprocess():
         f"dryrun_multichip failed without JAX env vars:\n"
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}")
     assert "gs dp step ok" in proc.stdout
-    assert "svd controlnet dp step ok" in proc.stdout
+    for tag in ("plain", "warp", "pose_cond"):
+        assert f"svd controlnet dp step [{tag}] ok" in proc.stdout
 
 
 def test_force_cpu_platform_in_process():

@@ -48,25 +48,19 @@ def main():
     bg = jnp.zeros(3, jnp.float32)
 
     # 13*n covers this scene's true pair count (~11.8*n with the 3-sigma
-    # AABB rects); pad_budget covers the true alignment padding (~34 per
-    # tile measured vs the 127 worst case). Every budgeted slot rides the
-    # pair sort and the attribute gather, so both are kept tight and
-    # overflow-checked below before timing.
-    tiles = (-(-1920 // 16)) * (-(-1080 // 16))
-    kwargs = dict(sh_degree=0, pair_budget=13 * n, backend="pallas",
-                  pad_budget=tiles * 48)
+    # AABB rects). Every budgeted slot rides the pair sort and the
+    # attribute gather, so the budget is kept tight and overflow-checked
+    # below before timing. (Segments are unaligned since round 3 — no
+    # alignment-padding pairs exist.)
+    kwargs = dict(sh_degree=0, pair_budget=13 * n, backend="pallas")
 
     # Warmup / compile.
     out = render(params, rcam, bg, **kwargs)
     jax.block_until_ready(out.rgb)
 
-    # No-overflow check: the timed config must not clip pairs or pads.
+    # No-overflow check: the timed config must not clip pairs.
     if int(out.pairs) > kwargs["pair_budget"]:
         print(f"pair budget overflow: {int(out.pairs)}", file=sys.stderr)
-        return 1
-    if int(out.pad_pairs) > kwargs["pad_budget"]:
-        print(f"pad budget overflow: {int(out.pad_pairs)}",
-              file=sys.stderr)
         return 1
 
     iters = 20

@@ -33,30 +33,31 @@ from . import (binning, composite, geometry, pallas_backward,
                pallas_composite, segment_reduce)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _pallas_composite_diff(tiles_x, tiles_y, interpret, attrs_t, bg,
-                           seg_start_f, counts_f):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _pallas_composite_diff(tiles_x, tiles_y, tile_h, tile_w, interpret,
+                           attrs_t, bg, seg_start_f, counts_f):
     """Differentiable fused compositing: forward = pallas kernel,
     backward = pallas backward kernel producing pair-space attr grads
     (segment ints ride as f32 across the custom_vjp boundary)."""
     return pallas_composite.composite_pallas(
         attrs_t, seg_start_f.astype(jnp.int32), counts_f.astype(jnp.int32),
-        bg, tiles_x, tiles_y, interpret=interpret)
+        bg, tiles_x, tiles_y, tile_h, tile_w, interpret=interpret)
 
 
-def _pcd_fwd(tiles_x, tiles_y, interpret, attrs_t, bg, seg_start_f,
-             counts_f):
-    tiles8 = _pallas_composite_diff(tiles_x, tiles_y, interpret, attrs_t,
-                                    bg, seg_start_f, counts_f)
+def _pcd_fwd(tiles_x, tiles_y, tile_h, tile_w, interpret, attrs_t, bg,
+             seg_start_f, counts_f):
+    tiles8 = _pallas_composite_diff(tiles_x, tiles_y, tile_h, tile_w,
+                                    interpret, attrs_t, bg, seg_start_f,
+                                    counts_f)
     return tiles8, (attrs_t, bg, seg_start_f, counts_f, tiles8)
 
 
-def _pcd_bwd(tiles_x, tiles_y, interpret, res, g):
+def _pcd_bwd(tiles_x, tiles_y, tile_h, tile_w, interpret, res, g):
     attrs_t, bg, seg_start_f, counts_f, tiles8 = res
     d_attrs = pallas_backward.composite_pallas_bwd(
         attrs_t, seg_start_f.astype(jnp.int32),
         counts_f.astype(jnp.int32), bg, tiles8, g, tiles_x, tiles_y,
-        interpret=interpret)
+        tile_h, tile_w, interpret=interpret)
     # dL/dbg = sum_pixels T_fin * g_rgb
     t_fin = tiles8[:, 4, :]
     d_bg = jnp.einsum("tp,tcp->c", t_fin, g[:, 0:3, :])
@@ -99,8 +100,9 @@ class RenderOutput(NamedTuple):
     # clipped this frame and the caller should grow the budget (the CUDA
     # reference allocates num_rendered exactly; we grow like capacity).
     pairs: jnp.ndarray = 0
-    # true alignment-padding count (pallas backend); > pad_budget means
-    # the aligned layout overflowed — grow pad_budget like pair_budget.
+    # alignment-padding count: always 0 on the packed pallas path
+    # (unaligned segments, round 3); nonzero only on the generic
+    # non-packed fallback layout.
     pad_pairs: jnp.ndarray = 0
 
 
@@ -128,7 +130,7 @@ def _assemble(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile_w: int,
 
 @partial(jax.jit, static_argnames=("sh_degree", "tile", "pair_budget",
                                    "max_per_tile", "chunk", "backend",
-                                   "interpret", "pad_budget"))
+                                   "interpret"))
 def render(params: GaussianParams, camera: RenderCamera,
            bg_color: jnp.ndarray, sh_degree: int = 0,
            scaling_modifier: float = 1.0,
@@ -137,8 +139,7 @@ def render(params: GaussianParams, camera: RenderCamera,
            pair_budget: Optional[int] = None,
            max_per_tile: int = 1024,
            chunk: int = 128, backend: str = "xla",
-           interpret: bool = False,
-           pad_budget: Optional[int] = None) -> RenderOutput:
+           interpret: bool = False) -> RenderOutput:
     """Render one view.
 
     ``backend``: "xla" (default) or "pallas" (fused TPU kernels with
@@ -153,6 +154,12 @@ def render(params: GaussianParams, camera: RenderCamera,
     tiles_y = -(-camera.height // tile_h)
     if pair_budget is None:
         pair_budget = 8 * n
+    if backend == "pallas":
+        # Segments are unaligned; the kernels DMA 128-aligned enclosing
+        # windows, whose last chunk may read up to align128(total) — keep
+        # the pair array a CHUNK multiple so that stays in bounds.
+        c = pallas_composite.CHUNK
+        pair_budget = -(-pair_budget // c) * c
 
     proj = geometry.project_gaussians(
         params.xyz, params.features(), params.act_opacity()[:, 0],
@@ -174,14 +181,14 @@ def render(params: GaussianParams, camera: RenderCamera,
         aligned_chunk=(pallas_composite.CHUNK if backend == "pallas"
                        else 0),
         extent=jax.lax.stop_gradient(proj.extent),
-        pad_budget=pad_budget,
         expand_kernel=(backend == "pallas"), interpret=interpret,
         aux=packed)
 
     if backend == "pallas":
-        if (tile_h, tile_w) != (pallas_composite.TILE_H,
-                                pallas_composite.TILE_W):
-            raise ValueError("pallas backend requires 16x16 tiles")
+        if (tile_h * tile_w) % 128 != 0:
+            raise ValueError(
+                "pallas backend needs tile_h*tile_w % 128 == 0 "
+                "(16x16 and 8x16 are the tuned shapes)")
         if bins.aux_sorted is not None:
             # gid_sorted is in depth-rank space: the attribute table was
             # reordered inside binning, riding the SAME single N-row
@@ -203,7 +210,7 @@ def render(params: GaussianParams, camera: RenderCamera,
         else:
             gathered = packed[bins.gid_sorted]
         tiles8 = _pallas_composite_diff(
-            tiles_x, tiles_y, interpret, gathered.T,
+            tiles_x, tiles_y, tile_h, tile_w, interpret, gathered.T,
             jnp.asarray(bg_color, jnp.float32),
             bins.seg_start.astype(jnp.float32),
             bins.counts.astype(jnp.float32))

@@ -124,7 +124,6 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   max_per_tile: int, gather_ids: bool = True,
                   aligned_chunk: int = 0,
                   extent: jnp.ndarray | None = None,
-                  pad_budget: int | None = None,
                   expand_kernel: bool = False,
                   interpret: bool = False,
                   aux: jnp.ndarray | None = None) -> TileBins:
@@ -133,8 +132,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     kernels DMA from the 128-aligned enclosing window and mask lanes);
     ``gid_sorted`` has length pair_budget with sentinel id = N past the
     true total (callers pad the attribute table with one zero row).
-    ``pad_budget`` is only honored by the generic non-packed fallback,
-    which still materializes an aligned relayout."""
+    The generic non-packed fallback still materializes an aligned
+    relayout."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
 
@@ -148,11 +147,17 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         ry = extent[:, 1].astype(jnp.float32)
     else:
         rx = ry = radius.astype(jnp.float32)
+    # Exclusive upper tile bound = floor(max_coord/tile) + 1, NOT the
+    # CUDA getRect form floor((max_coord + tile - 1)/tile): for
+    # non-integer max_coord in [m*tile, m*tile + 1) that form excludes
+    # tile m even though it contains the last covered pixel
+    # floor(max_coord). (Found by the 8x16-vs-16x16 tiling-invariance
+    # test; the CUDA reference has the same sub-pixel clip.)
     x0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile_w), 0, tiles_x)
     y0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_h), 0, tiles_y)
-    x1 = jnp.clip(jnp.floor((means2d[:, 0] + rx + tile_w - 1) / tile_w),
+    x1 = jnp.clip(jnp.floor((means2d[:, 0] + rx) / tile_w) + 1,
                   0, tiles_x)
-    y1 = jnp.clip(jnp.floor((means2d[:, 1] + ry + tile_h - 1) / tile_h),
+    y1 = jnp.clip(jnp.floor((means2d[:, 1] + ry) / tile_h) + 1,
                   0, tiles_y)
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
@@ -294,10 +299,12 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                     aux_sorted=aux_sorted)
 
 
-def _aligned_bins(key, active, x0, y0, rect_w, starts, ends, total, n,
-                  gid_bits, tiles_x, tiles_y, num_tiles, pair_budget,
-                  chunk, order, pad_budget):
-    """Chunk-aligned segments by construction (see module docstring).
+def _seg_bins(key, active, x0, y0, rect_w, starts, ends, total, n,
+              gid_bits, tiles_x, tiles_y, num_tiles, pair_budget, order):
+    """Unaligned per-tile segments for the Pallas kernels (see module
+    docstring): no padding pairs — the sort, gather and backward
+    reduction run over true pairs only; the kernels window-align their
+    DMA and mask lanes.
 
     Per-tile counts come from an exact coverage histogram computed on the
     MXU: a gaussian emits pairs for its rect rows in row-major order, so
@@ -325,49 +332,28 @@ def _aligned_bins(key, active, x0, y0, rect_w, starts, ends, total, n,
     hist = uf.T @ vf + up.T @ vp                          # [TY, TX]
     counts = jnp.round(hist).astype(jnp.int32).reshape(num_tiles)
 
-    c = chunk
-    aligned_len = ((counts + c - 1) // c) * c
-    cum_aligned = jnp.cumsum(aligned_len)
-    start_aligned = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), cum_aligned[:-1].astype(jnp.int32)])
-
-    # Padding pairs: tile t contributes aligned_len[t] - counts[t]
-    # sentinel keys (tile << bits) | mask; mask = 2**bits - 1 > any real
-    # rank, so they sort to the tile's segment end.
-    pad_counts = aligned_len - counts
-    pad_ends = jnp.cumsum(pad_counts)
-    pad_starts = (pad_ends - pad_counts).astype(jnp.int32)
-    pad_total = pad_ends[-1]
-    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
-    pad_tile = _blocked_cumsum(
-        jnp.zeros((pad_budget, 1), jnp.int32).at[pad_starts, 0].add(
-            _delta(tile_idx), mode="drop"))[:, 0]
-    pad_slots = jnp.arange(pad_budget, dtype=jnp.int32)
-    mask = jnp.int32((1 << gid_bits) - 1)
-    pad_key = jnp.where(pad_slots < pad_total,
-                        (pad_tile << gid_bits) | mask, _INT_MAX)
+    seg_start = (jnp.cumsum(counts) - counts).astype(jnp.int32)
 
     # Unstable single-operand sort: jnp.sort is stable by default, which
     # makes XLA carry an iota payload through every pass. Equal keys are
     # interchangeable here (the key IS the payload).
     import jax
-    (key_s,) = jax.lax.sort((jnp.concatenate([key, pad_key]),),
-                            is_stable=False)
+    (key_s,) = jax.lax.sort((key,), is_stable=False)
+    mask = jnp.int32((1 << gid_bits) - 1)
     gid_s = jnp.minimum(key_s & mask, n).astype(jnp.int32)
     gid_s = jnp.where(key_s == _INT_MAX, n, gid_s)
 
-    p_aligned = pair_budget + pad_budget
     rank_lo = jnp.concatenate([
         jnp.minimum(starts, pair_budget).astype(jnp.int32),
         jnp.minimum(total, pair_budget).reshape(1).astype(jnp.int32),
-        jnp.full((1,), p_aligned, jnp.int32),
+        jnp.full((1,), pair_budget, jnp.int32),
     ])
 
     return TileBins(ids=jnp.zeros((0, 0), jnp.int32),
                     valid=jnp.zeros((0, 0), bool), counts=counts,
                     total_pairs=total, gid_sorted=gid_s,
-                    seg_start=start_aligned, order=order,
-                    pad_pairs=pad_total, rank_lo=rank_lo)
+                    seg_start=seg_start, order=order,
+                    pad_pairs=jnp.int32(0), rank_lo=rank_lo)
 
 
 def _lex_sort(tile, depth, gid):

@@ -31,6 +31,18 @@ import jax.numpy as jnp
 DEPTH_EMPTY = 15.0  # far-background depth sentinel (reference contract)
 ALPHA_MIN = 1.0 / 255.0
 T_STOP = 1e-4
+# Per-splat alpha cutoff = the opacity-aware k-sigma ellipse the binning
+# extents encode (k = min(3, sqrt(2 ln(255 op))), geometry.py): alpha >=
+# max(1/255, op*e^{-4.5}). Gating per PIXEL on the exact ellipse (instead
+# of on rect-tile membership) makes the composited image independent of
+# the tile shape — required since the pallas path runs 8x16 tiles while
+# the XLA path bins 16x16.
+GATE_E = 0.011108996538242306  # e^{-4.5}
+
+
+def alpha_gate(opacity):
+    """[.., ] per-splat minimum contributing alpha (see GATE_E note)."""
+    return jnp.maximum(ALPHA_MIN, opacity * jnp.float32(GATE_E))
 
 
 class TileImage(NamedTuple):
@@ -78,8 +90,9 @@ def composite_tiles(ids: jnp.ndarray, valid: jnp.ndarray,
                              + co[None, :, 2] * dy * dy)
                      - co[None, :, 1] * dx * dy)
             alpha = jnp.minimum(0.99, op[None, :] * jnp.exp(power))
-            alpha = jnp.where((alpha >= ALPHA_MIN) & ok[None, :] & (power <= 0),
-                              alpha, 0.0)
+            alpha = jnp.where(
+                (alpha >= alpha_gate(op)[None, :]) & ok[None, :]
+                & (power <= 0), alpha, 0.0)
             # exclusive cumprod along C via cumsum in log space
             logs = jnp.log1p(-alpha)        # alpha <= 0.99 -> finite
             cum = jnp.cumsum(logs, axis=-1)
@@ -141,7 +154,8 @@ def composite_dense(means2d, conic, color, depth, opacity, order,
     power = (-0.5 * (co[None, :, 0] * dx * dx + co[None, :, 2] * dy * dy)
              - co[None, :, 1] * dx * dy)
     alpha = jnp.minimum(0.99, op[None, :] * jnp.exp(power))
-    alpha = jnp.where((alpha >= ALPHA_MIN) & (power <= 0), alpha, 0.0)
+    alpha = jnp.where((alpha >= alpha_gate(op)[None, :]) & (power <= 0),
+                      alpha, 0.0)
     del d
     if radius is not None and tile is not None:
         th, tw = tile
@@ -153,9 +167,9 @@ def composite_dense(means2d, conic, color, depth, opacity, order,
         px_tile = jnp.floor(pix[:, 0] / tw)
         py_tile = jnp.floor(pix[:, 1] / th)
         x0 = jnp.floor((mu[:, 0] - rx) / tw)
-        x1 = jnp.floor((mu[:, 0] + rx + tw - 1) / tw)
+        x1 = jnp.floor((mu[:, 0] + rx) / tw) + 1
         y0 = jnp.floor((mu[:, 1] - ry) / th)
-        y1 = jnp.floor((mu[:, 1] + ry + th - 1) / th)
+        y1 = jnp.floor((mu[:, 1] + ry) / th) + 1
         in_rect = ((px_tile[:, None] >= x0[None]) &
                    (px_tile[:, None] < x1[None]) &
                    (py_tile[:, None] >= y0[None]) &

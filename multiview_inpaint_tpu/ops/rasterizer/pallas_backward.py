@@ -16,10 +16,15 @@ over the same chunk stream (recomputing alpha/T, carrying the prefix),
 with every per-splat parameter gradient a [PIX, CHUNK] column reduction
 (MXU matmuls against g and ones).
 
-Per-pair gradients are DMA'd to a [NROWS, P_aligned] output at the same
-aligned offsets (grid is sequential on TPU — no races); the reduction to
-per-gaussian gradients is the VJP of the XLA gather that built the pair
-array, handled by autodiff in ``api.render``.
+Per-pair gradients are DMA'd to a [NROWS, P] output over the same
+128-aligned enclosing windows the forward streams from (segments are
+UNALIGNED — no padding pairs exist in the sorted layout). Adjacent tiles
+whose segments straddle a window boundary share that window: the later
+tile merges the earlier tile's already-written lanes (kept in a VMEM
+carry buffer — the grid is sequential on TPU, so the carry is always the
+previous nonempty tile's last written window) before writing. The
+reduction to per-gaussian gradients is the VJP of the XLA gather that
+built the pair array, handled by autodiff in ``api.render``.
 
 Grad row layout: 0 d_mean_x, 1 d_mean_y, 2 d_conic_a, 3 d_conic_b,
 4 d_conic_c, 5 d_opacity, 6-8 d_rgb, 9 d_depth (= NROWS rows).
@@ -34,36 +39,49 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .composite import ALPHA_MIN, DEPTH_EMPTY, T_STOP
+from .composite import DEPTH_EMPTY, T_STOP
 from .pallas_composite import (CHUNK, NROWS, PIX, TILE_H, TILE_W,
                                _lane_cumsum)
 
 
-def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
-                bg_ref, gout_ref, scratch, gscratch, sems, gsem):
+def _bwd_kernel(tile_h, tile_w, starts_ref, counts_ref, attrs_ref, g_ref,
+                out8_ref, bg_ref, gout_ref, scratch, gscratch, carry,
+                sems, gsem):
+    pix = tile_h * tile_w
     t = pl.program_id(0)
     tiles_x = pl.num_programs(1)
     tx = pl.program_id(1)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
     # Global pixel coords for the alpha/power recompute (bit-identical
     # to the forward kernel); tile-LOCAL coords for the moments basis —
     # the moments recombination differences polynomial moments, and
     # local coords (<= 15) keep that cancellation-free.
-    pxl = jnp.mod(lin, TILE_W).astype(jnp.float32)
-    pyl = (lin // TILE_W).astype(jnp.float32)
-    ox = jnp.float32(tx * TILE_W)
-    oy = jnp.float32(t * TILE_H)
+    pxl = jnp.mod(lin, tile_w).astype(jnp.float32)
+    pyl = (lin // tile_w).astype(jnp.float32)
+    ox = jnp.float32(tx * tile_w)
+    oy = jnp.float32(t * tile_h)
     px = pxl + ox
     py = pyl + oy
-    # Moments basis [6, PIX]: {1, px, py, px^2, py^2, px*py} rows.
+    # Moments basis [6, pix]: {1, px, py, px^2, py^2, px*py} rows.
     basis = jnp.concatenate(
-        [jnp.ones((1, PIX), jnp.float32), pxl.T, pyl.T,
+        [jnp.ones((1, pix), jnp.float32), pxl.T, pyl.T,
          (pxl * pxl).T, (pyl * pyl).T, (pxl * pyl).T], axis=0)
 
+    def win_base(r):
+        # Unaligned segments: DMA the 128-aligned enclosing window (a
+        # Mosaic-provable offset) and mask out-of-segment lanes.
+        return pl.multiple_of((starts_ref[r] // CHUNK) * CHUNK, CHUNK)
+
     row = t * tiles_x + tx
-    start = pl.multiple_of(starts_ref[row], CHUNK)
+    start = win_base(row)
+    off = starts_ref[row] - start
     count = counts_ref[row]
-    n_chunks = pl.cdiv(count, CHUNK)
+    seg_end = off + count
+    # Empty tiles MUST run zero chunks (cdiv(off, CHUNK) is 1 when an
+    # empty tile's start is unaligned): the chunk-0 DMA is only issued
+    # for count > 0 — waiting on it deadlocks — and the zero-fill would
+    # clobber the shared window the previous tile just wrote.
+    n_chunks = jnp.where(count > 0, pl.cdiv(seg_end, CHUNK), 0)
 
     # Upstream grads + forward outputs for this tile: [8, PIX].
     g = g_ref[0, 0]        # rows: 0-2 g_rgb, 3 g_depth, 4 g_alpha
@@ -88,13 +106,11 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
     base = (row % 2) * 2
 
     def issue_chunk0(prow, slot):
-        pstart = pl.multiple_of(starts_ref[prow], CHUNK)
-
         @pl.when(counts_ref[prow] > 0)
         def _():
             pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(pstart, CHUNK)], scratch.at[slot],
-                sems.at[slot]).start()
+                attrs_ref.at[:, pl.ds(win_base(prow), CHUNK)],
+                scratch.at[slot], sems.at[slot]).start()
 
     @pl.when(row == 0)
     def _():
@@ -124,7 +140,8 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         a = scratch[base + i % 2]  # [NROWS, CHUNK]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        valid = (i * CHUNK + lane) < count
+        sl = i * CHUNK + lane
+        valid = (sl >= off) & (sl < seg_end)
         dx = px - a[0:1, :]
         dy = py - a[1:2, :]
         power = (-0.5 * (a[2:3, :] * dx * dx + a[4:5, :] * dy * dy)
@@ -132,7 +149,7 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         alpha_raw = a[5:6, :] * jnp.exp(power)
         unclipped = alpha_raw < 0.99
         alpha = jnp.minimum(0.99, alpha_raw)
-        live = (alpha >= ALPHA_MIN) & valid & (power <= 0.0)
+        live = (alpha >= a[10:11, :]) & valid & (power <= 0.0)
         alpha = jnp.where(live, alpha, 0.0)
         logs = jnp.log1p(-alpha)
         # Exclusive prefix, matching the forward kernel's recompute.
@@ -226,6 +243,15 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
             d_mx, d_my, d_a, d_b, d_c, d_opacity, wg.T,
             jnp.zeros((NROWS - 10, CHUNK), jnp.float32)],
             axis=0)  # [NROWS, CHUNK]
+        # Window-boundary merge: when this tile's segment starts mid-
+        # window (off > 0), the window's first ``off`` lanes hold the
+        # previous nonempty tile's already-written gradients — whose last
+        # written window is by construction THIS window, still sitting in
+        # the VMEM carry buffer. Preserve those lanes. (Out-of-segment
+        # lanes of grow are exact zeros: every grad is a product with the
+        # masked alpha/w.)
+        grow = jnp.where((i == 0) & (lane < off), carry[:, :], grow)
+        carry[:, :] = grow
         # Double-buffered writeback: retire the slot's previous DMA
         # just before reuse instead of stalling on every chunk.
         @pl.when(i >= 2)
@@ -245,8 +271,8 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
         prefix_next = prefix + jnp.sum(wA, axis=1, keepdims=True)
         return i + 1, t_next, prefix_next
 
-    init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
-            jnp.zeros((PIX, 1), jnp.float32))
+    init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
+            jnp.zeros((pix, 1), jnp.float32))
     i_stop, _, _ = jax.lax.while_loop(cond, body, init)
 
     # Retire the in-flight writebacks of the last (up to) two chunks.
@@ -266,9 +292,11 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
     def _():
         get_dma(base + i_stop % 2, i_stop).wait()
 
-    # Early-exit leaves later chunks (and their aligned padding) unwritten
-    # in the ANY-space output — zero-fill so the downstream grad
-    # reduction sees clean zeros.
+    # Early-exit leaves later chunks unwritten in the ANY-space output —
+    # zero-fill so the downstream grad reduction sees clean zeros. Only
+    # chunks >= 1 can be zero-filled (chunk 0 always runs when count > 0),
+    # so no prev-tile lanes are clobbered; the carry must track the last
+    # written window for the NEXT tile's boundary merge.
     def zero_fill(i, _):
         gscratch[i % 2] = jnp.zeros((NROWS, CHUNK), jnp.float32)
         cp = pltpu.make_async_copy(
@@ -281,12 +309,18 @@ def _bwd_kernel(starts_ref, counts_ref, attrs_ref, g_ref, out8_ref,
 
     jax.lax.fori_loop(i_stop, n_chunks, zero_fill, 0)
 
+    @pl.when(i_stop < n_chunks)
+    def _():
+        carry[:, :] = jnp.zeros((NROWS, CHUNK), jnp.float32)
 
-@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "interpret"))
+
+@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_h",
+                                   "tile_w", "interpret"))
 def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                          counts: jnp.ndarray, bg_color: jnp.ndarray,
                          tiles8: jnp.ndarray, g_tiles8: jnp.ndarray,
-                         tiles_x: int, tiles_y: int,
+                         tiles_x: int, tiles_y: int, tile_h: int = TILE_H,
+                         tile_w: int = TILE_W,
                          interpret: bool = False) -> jnp.ndarray:
     """Returns d(attrs_t) [NROWS, P_aligned].
 
@@ -294,19 +328,20 @@ def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
     [num_tiles, 8, PIX] (rows 0-2 rgb, 3 depth, 4 final-T / alpha grads —
     caller converts d(alpha_out) into row 4 with the proper sign).
     """
+    pix = tile_h * tile_w
     num_tiles = tiles_x * tiles_y
     p_aligned = attrs_t.shape[1]
     bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
-    t8 = tiles8.reshape(tiles_y, tiles_x, 8, PIX)
-    g8 = g_tiles8.reshape(tiles_y, tiles_x, 8, PIX)
+    t8 = tiles8.reshape(tiles_y, tiles_x, 8, pix)
+    g8 = g_tiles8.reshape(tiles_y, tiles_x, 8, pix)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # attrs (HBM)
-            pl.BlockSpec((1, 1, 8, PIX), lambda t, tx, *_: (t, tx, 0, 0),
+            pl.BlockSpec((1, 1, 8, pix), lambda t, tx, *_: (t, tx, 0, 0),
                          memory_space=pltpu.VMEM),  # upstream grads
-            pl.BlockSpec((1, 1, 8, PIX), lambda t, tx, *_: (t, tx, 0, 0),
+            pl.BlockSpec((1, 1, 8, pix), lambda t, tx, *_: (t, tx, 0, 0),
                          memory_space=pltpu.VMEM),  # forward outputs
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
         ],
@@ -314,12 +349,15 @@ def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((4, NROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
+            # carry: last written grad window, persists across grid
+            # steps (sequential TPU grid) for the boundary merge.
+            pltpu.VMEM((NROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     grads = pl.pallas_call(
-        _bwd_kernel,
+        partial(_bwd_kernel, tile_h, tile_w),
         out_shape=jax.ShapeDtypeStruct((NROWS, p_aligned), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -16,7 +16,8 @@ this kernel:
   one composites.
 
 Packed attribute rows (sublane dim): 0 mean_x, 1 mean_y, 2 conic_a,
-3 conic_b, 4 conic_c, 5 opacity, 6 r, 7 g, 8 b, 9 depth, 10-15 pad.
+3 conic_b, 4 conic_c, 5 opacity, 6 r, 7 g, 8 b, 9 depth, 10 alpha-gate
+(the per-splat ellipse cutoff — see composite.alpha_gate), 11-15 pad.
 (A 10-row layout was tried: Mosaic requires sublane slice sizes to be
 multiples of the (8,128) tiling, so 10-row chunk DMAs do not compile,
 and the measured gather is per-row-overhead-bound — narrower rows only
@@ -36,10 +37,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .composite import ALPHA_MIN, DEPTH_EMPTY, T_STOP
+from .composite import DEPTH_EMPTY, T_STOP, alpha_gate
 
-TILE_H = 16
-TILE_W = 16
+TILE_H = 16   # default tile shape; composite_pallas accepts (8, 16)
+TILE_W = 16   # too (PIX = tile_h*tile_w must be a multiple of 128)
 PIX = TILE_H * TILE_W  # 256
 CHUNK = 128
 NROWS = 16  # packed attribute rows (see layout above)
@@ -71,22 +72,28 @@ def _lane_cumsum(x, exclusive: bool = False):
     return dot(hi) + dot(lo)
 
 
-def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
-            bg_ref, out_ref, scratch, sems):
+def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, starts_ref,
+            counts_ref, attrs_ref, bg_ref, out_ref, scratch, sems):
+    pix = tile_h * tile_w
     t = pl.program_id(0)
     txg = pl.program_id(1)
+
+    def win_base(row):
+        # Segments are UNALIGNED (no padding pairs in the sorted layout);
+        # DMA from the 128-aligned enclosing window — Mosaic needs a
+        # provably lane-aligned offset, which floor128 + multiple_of is —
+        # and mask the out-of-segment lanes in compute.
+        return pl.multiple_of((starts_ref[row] // CHUNK) * CHUNK, CHUNK)
 
     def issue_chunk0(row, slot):
         # Prefetch a tile's first chunk while its predecessor composites:
         # with ~1.6 chunks per tile the first-chunk DMA latency would
         # otherwise be exposed on almost every tile.
-        start = pl.multiple_of(starts_ref[row], CHUNK)
-
         @pl.when(counts_ref[row] > 0)
         def _():
             pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(start, CHUNK)], scratch.at[slot],
-                sems.at[slot]).start()
+                attrs_ref.at[:, pl.ds(win_base(row), CHUNK)],
+                scratch.at[slot], sems.at[slot]).start()
 
     @pl.when(jnp.logical_and(t == 0, txg == 0))
     def _():
@@ -94,15 +101,22 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
 
     def one_tile(g, _):
         tx = txg * group + g
-        # Tile pixel coordinates [PIX, 1].
-        lin = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
-        px = (tx * TILE_W + jnp.mod(lin, TILE_W)).astype(jnp.float32)
-        py = (t * TILE_H + lin // TILE_W).astype(jnp.float32)
+        # Tile pixel coordinates [pix, 1].
+        lin = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+        px = (tx * tile_w + jnp.mod(lin, tile_w)).astype(jnp.float32)
+        py = (t * tile_h + lin // tile_w).astype(jnp.float32)
 
         row = t * tiles_x + tx
-        start = pl.multiple_of(starts_ref[row], CHUNK)
+        start = win_base(row)
+        off = starts_ref[row] - start          # in-window lane offset
         count = counts_ref[row]
-        n_chunks = pl.cdiv(count, CHUNK)
+        seg_end = off + count
+        # Empty tiles MUST run zero chunks: cdiv(off, CHUNK) is 1 when
+        # an empty tile's start is unaligned, and its chunk-0 DMA is
+        # never issued (issue_chunk0 guards on count > 0) — waiting on
+        # that never-signaled semaphore deadlocks the device (found on
+        # hardware; interpret mode's synchronous DMAs can't catch it).
+        n_chunks = jnp.where(count > 0, pl.cdiv(seg_end, CHUNK), 0)
         # Consecutive tiles (incl. across grid steps) alternate scratch
         # slot pairs, keyed on global row parity.
         base = (row % 2) * 2
@@ -139,7 +153,8 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
             a = scratch[base + i % 2]  # [NROWS, CHUNK]
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            valid = (i * CHUNK + lane) < count  # [1, CHUNK]
+            sl = i * CHUNK + lane               # in-window slot [1,CHUNK]
+            valid = (sl >= off) & (sl < seg_end)
 
             dx = px - a[0:1, :]          # [PIX, CHUNK]
             dy = py - a[1:2, :]
@@ -147,7 +162,8 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
                      - a[3:4, :] * dx * dy)
             alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
             alpha = jnp.where(
-                (alpha >= ALPHA_MIN) & valid & (power <= 0.0), alpha, 0.0)
+                (alpha >= a[10:11, :]) & valid & (power <= 0.0),
+                alpha, 0.0)
             logs = jnp.log1p(-alpha)
             # exclusive prefix -> T entering each splat directly; the
             # inclusive-prefix + divide variant measured 0.5 ms/frame
@@ -188,9 +204,9 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
                         keepdims=True))
             return i + 1, t_next, rgb_acc, d_acc
 
-        init = (jnp.int32(0), jnp.ones((PIX, 1), jnp.float32),
-                jnp.zeros((PIX, 3), jnp.float32),
-                jnp.zeros((PIX, 1), jnp.float32))
+        init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
+                jnp.zeros((pix, 3), jnp.float32),
+                jnp.zeros((pix, 1), jnp.float32))
         i_end, t_fin, rgb_acc, d_acc = jax.lax.while_loop(cond, body,
                                                           init)
 
@@ -205,18 +221,22 @@ def _kernel(group, tiles_x, tiles_y, starts_ref, counts_ref, attrs_ref,
         rgb = rgb_acc + t_fin * bg[None, :]
         dep = d_acc + t_fin * DEPTH_EMPTY
         out = jnp.concatenate(
-            [rgb, dep, t_fin, jnp.zeros((PIX, 3), jnp.float32)], axis=1)
-        out_ref[0, g] = out.T  # [8, PIX]
+            [rgb, dep, t_fin, jnp.zeros((pix, 3), jnp.float32)], axis=1)
+        out_ref[0, g] = out.T  # [8, pix]
         return 0
 
     jax.lax.fori_loop(0, group, one_tile, 0)
 
 
-@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "interpret"))
+@partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_h",
+                                   "tile_w", "interpret"))
 def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                      counts: jnp.ndarray, bg_color: jnp.ndarray,
-                     tiles_x: int, tiles_y: int, interpret: bool = False):
-    """attrs_t [NROWS, P] pair-sorted packed attrs; returns [T, 8, PIX]."""
+                     tiles_x: int, tiles_y: int, tile_h: int = TILE_H,
+                     tile_w: int = TILE_W, interpret: bool = False):
+    """attrs_t [NROWS, P] pair-sorted packed attrs; returns [T, 8, pix]."""
+    pix = tile_h * tile_w
+    assert pix % 128 == 0, "tile pixel count must be a lane multiple"
     num_tiles = tiles_x * tiles_y
     # Batch GROUP tiles per grid step: per-step launch overhead (~2 us)
     # dominates at 1 tile/step (8k steps at 1080p); the fori_loop
@@ -230,7 +250,7 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),   # attrs stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bg
         ],
-        out_specs=pl.BlockSpec((1, group, 8, PIX),
+        out_specs=pl.BlockSpec((1, group, 8, pix),
                                lambda t, txg, *_: (t, txg, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -239,18 +259,18 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
         ],
     )
     out = pl.pallas_call(
-        partial(_kernel, group, tiles_x, tiles_y),
-        out_shape=jax.ShapeDtypeStruct((tiles_y, tiles_x, 8, PIX),
+        partial(_kernel, group, tiles_x, tiles_y, tile_h, tile_w),
+        out_shape=jax.ShapeDtypeStruct((tiles_y, tiles_x, 8, pix),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(num_tiles) * PIX * CHUNK * 24,
-            bytes_accessed=int(attrs_t.size) * 4 + num_tiles * PIX * 32,
-            transcendentals=int(num_tiles) * PIX * CHUNK * 2,
+            flops=int(num_tiles) * pix * CHUNK * 24,
+            bytes_accessed=int(attrs_t.size) * 4 + num_tiles * pix * 32,
+            transcendentals=int(num_tiles) * pix * CHUNK * 2,
         ),
     )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), attrs_t, bg)
-    return out.reshape(num_tiles, 8, PIX)
+    return out.reshape(num_tiles, 8, pix)
 
 
 def pack_attrs(means2d, conic, opacity, color, depth) -> jnp.ndarray:
@@ -262,5 +282,6 @@ def pack_attrs(means2d, conic, opacity, color, depth) -> jnp.ndarray:
         opacity[:, None],              # 5
         color,                         # 6,7,8
         depth[:, None],                # 9
-        jnp.zeros((n, NROWS - 10), jnp.float32),
+        alpha_gate(opacity)[:, None],  # 10 (ellipse cutoff)
+        jnp.zeros((n, NROWS - 11), jnp.float32),
     ], axis=1)

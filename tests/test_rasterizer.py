@@ -202,6 +202,41 @@ def test_pallas_interpret_matches_xla():
                                atol=3e-4)
 
 
+def test_pallas_8x16_tiles_match_xla():
+    """The PIX=128 tile shape (round-3 perf lever) must render the same
+    image and gradients as the XLA path (which bins at its own tiling —
+    the composited image is tiling-invariant)."""
+    p = _random_scene(200, seed=11)
+    cam = _front_camera(width=80, height=64)
+    bg = jnp.asarray([0.3, 0.1, 0.2])
+    a = rasterizer.render(p, cam, bg, max_per_tile=512,
+                          pair_budget=8 * p.capacity)
+    b = rasterizer.render(p, cam, bg, pair_budget=8 * p.capacity,
+                          backend="pallas", tile=(8, 16), interpret=True)
+    np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                               atol=3e-4)
+
+    target = jnp.asarray(
+        np.random.default_rng(1).random((64, 80, 3)), jnp.float32)
+
+    def loss(params, **kw):
+        out = rasterizer.render(params, cam, bg, max_per_tile=512,
+                                pair_budget=8 * params.capacity, **kw)
+        return (jnp.mean((out.rgb - target) ** 2)
+                + 0.1 * jnp.mean(out.depth) + 0.05 * jnp.mean(out.alpha))
+
+    g_xla = jax.grad(loss, allow_int=True)(p)
+    g_pal = jax.grad(lambda q: loss(q, backend="pallas", tile=(8, 16),
+                                    interpret=True), allow_int=True)(p)
+    for f in ("xyz", "features_dc", "opacity", "scaling"):
+        a_ = np.asarray(getattr(g_xla, f))
+        b_ = np.asarray(getattr(g_pal, f))
+        np.testing.assert_allclose(
+            b_, a_, atol=2e-6 + 1e-4 * np.abs(a_).max(), err_msg=f)
+
+
 def test_render_sh_degree3_view_dependence():
     """Degree-3 SH colors vary with viewing direction."""
     n = 1

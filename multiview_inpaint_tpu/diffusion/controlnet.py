@@ -38,7 +38,10 @@ class ControlNet(nn.Module):
         chans = [16, 16, 32, 32, 96, 96, 256]
         strides = [1, 1, 2, 1, 2, 1, 2]
         for i, (c, s) in enumerate(zip(chans, strides)):
+            # Explicit pad 1 (not SAME): torch stride-2 conv parity —
+            # see layers.Downsample.
             h = nn.Conv(c, (3, 3), strides=(s, s),
+                        padding=((1, 1), (1, 1)),
                         name=f"input_hint_block_{2 * i}")(h)
             h = nn.silu(h)
         guided_hint = nn.Conv(cfg.model_channels, (3, 3),

@@ -130,6 +130,10 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.with_conv:
+            # Explicit symmetric pad 1: flax's SAME pads (0, 1) for even
+            # inputs at stride 2, which samples different pixel positions
+            # than the reference's torch conv(stride=2, padding=1) —
+            # caught by the full-assembly golden.
             return nn.Conv(self.features, (3, 3), strides=(2, 2),
-                           name="op")(x)
+                           padding=((1, 1), (1, 1)), name="op")(x)
         return nn.avg_pool(x, (2, 2), (2, 2))

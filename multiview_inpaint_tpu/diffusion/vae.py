@@ -82,18 +82,66 @@ class VideoResnetBlock(nn.Module):
         return out.reshape(bt, hh, ww, c)
 
 
+def _attn_inner(x, make_conv):
+    """Single-head q/k/v attention of the reference AttnBlock, WITHOUT
+    proj_out or the residual (``model.py`` ``AttnBlock.attention``)."""
+    b, h, w, c = x.shape
+    hn = _gn(x, "norm")
+    q = make_conv("q")(hn).reshape(b, h * w, c)
+    k = make_conv("k")(hn).reshape(b, h * w, c)
+    v = make_conv("v")(hn).reshape(b, h * w, c)
+    attn = jax.nn.softmax(
+        jnp.einsum("bqc,bkc->bqk", q, k) * (c ** -0.5), axis=-1)
+    return jnp.einsum("bqk,bkc->bqc", attn, v)
+
+
 class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        hn = _gn(x, "norm")
-        q = nn.Conv(c, (1, 1), name="q")(hn).reshape(b, h * w, c)
-        k = nn.Conv(c, (1, 1), name="k")(hn).reshape(b, h * w, c)
-        v = nn.Conv(c, (1, 1), name="v")(hn).reshape(b, h * w, c)
-        attn = jax.nn.softmax(
-            jnp.einsum("bqc,bkc->bqk", q, k) * (c ** -0.5), axis=-1)
-        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, h, w, c)
+        out = _attn_inner(x, lambda n: nn.Conv(c, (1, 1), name=n))
+        out = out.reshape(b, h, w, c)
         return x + nn.Conv(c, (1, 1), name="proj_out")(out)
+
+
+class VideoAttnBlock(nn.Module):
+    """Spatio-temporal attention block (``temporal_ae.py:158-289``
+    VideoBlock): spatial single-head attention, then a temporal
+    VideoTransformerBlock (1 head, d_head = C, ff_in, no context) on
+    x + frame-positional embedding, merged by a learned alpha, then
+    proj_out and the residual.
+
+    NOT instantiated at the reference's shipped configuration — the SVD
+    VideoDecoder runs ``time_mode="conv-only"``
+    (``configs/training/svd_f_est_ctrl_simp1.yaml:144-158`` sets no
+    time_mode; ``temporal_ae.py:300`` defaults conv-only, and
+    ``_make_attn`` then returns plain spatial attention). Provided for
+    ``time_mode="all"/"attn-only"`` parity, golden-tested vs torch.
+    """
+    merge_strategy: str = "learned"
+
+    @nn.compact
+    def __call__(self, x, timesteps: int = 1):
+        from .layers import timestep_embedding
+        from .transformer import VideoTransformerBlock
+
+        b_t, hh, ww, c = x.shape
+        x_in = x
+        h = _attn_inner(x, lambda n: nn.Conv(c, (1, 1), name=n))
+
+        frames = jnp.tile(jnp.arange(timesteps), b_t // timesteps)
+        t_emb = timestep_embedding(frames, c).astype(x.dtype)
+        emb = nn.Dense(c * 4, name="video_time_embed_0")(t_emb)
+        emb = nn.Dense(c, name="video_time_embed_2")(nn.silu(emb))
+        x_mix = h + emb[:, None, :]
+        x_mix = VideoTransformerBlock(
+            c, 1, c, context_dim=None, ff_in=True,
+            name="time_mix_block")(x_mix, None, timesteps)
+        mix = self.param("mix_factor", nn.initializers.constant(0.0), (1,))
+        a = jax.nn.sigmoid(mix)[0]
+        h = a * h + (1.0 - a) * x_mix
+        h = h.reshape(b_t, hh, ww, c)
+        return x_in + nn.Conv(c, (1, 1), name="proj_out")(h)
 
 
 class Encoder(nn.Module):
@@ -124,22 +172,39 @@ class Encoder(nn.Module):
 class Decoder(nn.Module):
     cfg: VAEConfig
     video: bool = False
+    # Reference VideoDecoder time_mode (``temporal_ae.py:292-345``):
+    # "conv-only" (the shipped SVD config) = temporal resblocks + final
+    # time-mix conv, spatial mid attention; "all" adds VideoAttnBlock
+    # mid attention; "attn-only" = temporal attention only.
+    time_mode: str = "conv-only"
 
     @nn.compact
     def __call__(self, z, timesteps: int = 1):
         cfg = self.cfg
+        temporal_res = (self.video
+                        and self.time_mode not in ("attn-only",
+                                                   "only-last-conv"))
+        temporal_attn = (self.video
+                         and self.time_mode in ("all", "attn-only"))
+        temporal_out = self.video and self.time_mode != "attn-only"
 
         def res(name, ch):
-            if self.video:
+            if temporal_res:
                 blk = VideoResnetBlock(ch, cfg.video_kernel_size, name=name)
                 return lambda x: blk(x, timesteps)
             blk = ResnetBlock(ch, name=name)
             return blk
 
+        def attn(name):
+            if temporal_attn:
+                blk = VideoAttnBlock(name=name)
+                return lambda x: blk(x, timesteps)
+            return AttnBlock(name=name)
+
         ch = cfg.ch * cfg.ch_mult[-1]
         h = nn.Conv(ch, (3, 3), name="conv_in")(z)
         h = res("mid_block_1", ch)(h)
-        h = AttnBlock(name="mid_attn_1")(h)
+        h = attn("mid_attn_1")(h)
         h = res("mid_block_2", ch)(h)
         for level in reversed(range(len(cfg.ch_mult))):
             ch = cfg.ch * cfg.ch_mult[level]
@@ -155,7 +220,7 @@ class Decoder(nn.Module):
                 h = nn.Conv(c, (3, 3), name=f"up_{level}_upsample_conv")(h)
         h = nn.silu(_gn(h, "norm_out"))
         h = nn.Conv(cfg.out_ch, (3, 3), name="conv_out")(h)
-        if self.video:
+        if temporal_out:
             bt, hh, ww, c = h.shape
             b = bt // timesteps
             h5 = h.reshape(b, timesteps, hh, ww, c)

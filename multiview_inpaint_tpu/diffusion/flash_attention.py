@@ -12,11 +12,16 @@ This kernel keeps q/k/v in bf16 (f32 accumulation + f32 online
 softmax), streams k/v blocks from VMEM, and materializes only a
 [BQ, BK] tile of logits. ~1.7 GMAC-equivalent per ds1 layer -> ~3-5 ms.
 
-Backward: flash backward kernels are deliberately NOT hand-written yet;
-``flash_mha`` carries a custom VJP that recomputes standard attention
-under ``jax.vjp`` (paying the XLA logits cost on the training path
-only). Inference — the reference pipeline's hot path — never touches
-it.
+Backward (round 3): a hand-written single-pass Pallas kernel — grid
+over k/v blocks, dk/dv written per block, dq accumulated across grid
+steps in a resident full-T VMEM block (the TPU grid is sequential, so
+the (b, 0, 0)-indexed output block is a race-free accumulator). Five
+MXU matmuls per (q, k) tile — s, dp, dv, dk, dq — the flash-backward
+optimum; softmax stats ride the forward's saved logsumexp instead of a
+recompute. The lse/delta residuals use the lane-broadcast
+[BH, T, 128] layout (q rows in sublanes — no in-kernel transposes),
+the same trick as the stock jax TPU kernel. The forward compiles a
+separate no-residual variant so inference never pays the lse write.
 
 Replaces: xformers/torch-SDP routing in the reference
 (``svd_inpaint1/sgm/modules/attention.py:15-55``).
@@ -34,9 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 BQ = 512   # query block (rows per grid step)
 BK = 512   # key/value block (inner-loop tile)
 NEG = -1e30
+LANES = 128  # lane-broadcast width for softmax-stat residuals
 
 
-def _kernel(scale, t, q_ref, k_ref, v_ref, o_ref):
+def _kernel(scale, t, save_lse, q_ref, k_ref, v_ref, o_ref,
+            lse_ref=None):
     q = q_ref[0]                                  # [BQ, D] bf16
     d = q.shape[-1]
     nk = t // BK
@@ -63,25 +70,118 @@ def _kernel(scale, t, q_ref, k_ref, v_ref, o_ref):
     denom = jnp.zeros((BQ, 1), jnp.float32)
     acc, m, denom = jax.lax.fori_loop(0, nk, body, (acc, m, denom))
     o_ref[0] = (acc / denom).astype(o_ref.dtype)
+    if save_lse:
+        # Row logsumexp in the lane-broadcast [BQ, 128] layout (q rows
+        # stay in sublanes — no transpose; same trick as the stock jax
+        # TPU kernel's l/m refs).
+        lse_ref[0] = jnp.broadcast_to(m + jnp.log(denom), (BQ, LANES))
 
 
-def _flash_fwd_impl(q, k, v, scale, interpret):
-    """q/k/v [BH, T, D] bf16 -> [BH, T, D]."""
+def _flash_fwd_impl(q, k, v, scale, interpret, save_lse=False):
+    """q/k/v [BH, T, D] bf16 -> [BH, T, D] (+ lse [BH, T, 128] f32)."""
     bh, t, d = q.shape
     grid = (bh, t // BQ)
+    out_specs = pl.BlockSpec((1, BQ, d), lambda b, i: (b, i, 0))
+    out_shape = jax.ShapeDtypeStruct((bh, t, d), q.dtype)
+    if save_lse:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, BQ, LANES), lambda b, i: (b, i, 0)))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bh, t, LANES), jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_kernel, scale, t),
+        functools.partial(_kernel, scale, t, save_lse),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, BQ, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BQ, d), lambda b, i: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(q, k, v)
     return out
+
+
+def _bwd_kernel(scale, t, q_ref, do_ref, k_ref, v_ref, lse_ref, dlt_ref,
+                dq_ref, dk_ref, dv_ref):
+    """One k/v block per grid step; dq accumulates across steps.
+
+    dq_ref's index map pins the same (b, 0, 0) block for every k step of
+    a batch row, so it lives in VMEM as a race-free accumulator (the TPU
+    grid is sequential) and is written back once per batch row.
+    """
+    kb = pl.program_id(1)
+    kc = k_ref[0]                                  # [BK, D] bf16
+    vc = v_ref[0]
+    d = kc.shape[-1]
+    nq = t // BQ
+
+    @pl.when(kb == 0)
+    def _():
+        dq_ref[0] = jnp.zeros((t, d), jnp.float32)
+
+    def body(j, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(j * BQ, BQ), :]         # [BQ, D] bf16
+        do = do_ref[0, pl.ds(j * BQ, BQ), :]
+        lse = lse_ref[0, pl.ds(j * BQ, BQ), :]     # [BQ, 128] f32
+        dlt = dlt_ref[0, pl.ds(j * BQ, BQ), :]
+        s = jax.lax.dot_general(
+            q, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [BQ, BK]
+        p = jnp.exp(s - jnp.tile(lse, (1, BK // LANES)))
+        pb = p.astype(jnp.bfloat16)
+        # dV += P^T dO  (contract over q rows)
+        dv_acc += jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [BK, D]
+        # dP = dO V^T ; dS = P * (dP - delta) * scale
+        dp = jax.lax.dot_general(
+            do, vc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [BQ, BK]
+        ds = (p * (dp - jnp.tile(dlt, (1, BK // LANES)))
+              * scale).astype(jnp.bfloat16)
+        # dK += dS^T Q (contract over q rows); dQ_j += dS K
+        dk_acc += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [BK, D]
+        dq_ref[0, pl.ds(j * BQ, BQ), :] += jax.lax.dot_general(
+            ds, kc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [BQ, D]
+        return dk_acc, dv_acc
+
+    dk_acc = jnp.zeros((BK, d), jnp.float32)
+    dv_acc = jnp.zeros((BK, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, nq, body, (dk_acc, dv_acc))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, o, lse, g, scale, interpret):
+    """Returns (dq, dk, dv), same shape/dtype as q/k/v."""
+    bh, t, d = q.shape
+    # delta_i = rowsum(dO * O), f32, lane-broadcast like lse.
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)                       # [BH, T]
+    delta = jnp.broadcast_to(delta[:, :, None], (bh, t, LANES))
+    g = g.astype(q.dtype)
+    grid = (bh, t // BK)
+    full = pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0))
+    kblk = pl.BlockSpec((1, BK, d), lambda b, i: (b, i, 0))
+    stat = pl.BlockSpec((1, t, LANES), lambda b, i: (b, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale, t),
+        grid=grid,
+        in_specs=[full, full, kblk, kblk, stat, stat],
+        out_specs=(pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0)),
+                   kblk, kblk),
+        out_shape=(jax.ShapeDtypeStruct((bh, t, d), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, t, d), q.dtype)),
+        interpret=interpret,
+    )(q, g, k, v, lse, delta)
+    return dq.astype(q.dtype), dk, dv
 
 
 def _ref_mha(q, k, v, scale):
@@ -97,20 +197,20 @@ def flash_mha(q, k, v, scale: float, interpret: bool = False):
     """Batched multi-head attention, [BH, T, D] bf16/f32 inputs.
 
     T must be a multiple of 512; D <= 128. Forward = the bf16 Pallas
-    kernel; backward recomputes standard attention (see module
-    docstring).
+    kernel; backward = the single-pass Pallas flash backward (see
+    module docstring).
     """
     return _flash_fwd_impl(q, k, v, scale, interpret)
 
 
 def _fwd(q, k, v, scale, interpret):
-    return _flash_fwd_impl(q, k, v, scale, interpret), (q, k, v)
+    o, lse = _flash_fwd_impl(q, k, v, scale, interpret, save_lse=True)
+    return o, (q, k, v, o, lse)
 
 
 def _bwd(scale, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _ref_mha(a, b, c, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_bwd_impl(q, k, v, o, lse, g, scale, interpret)
 
 
 flash_mha.defvjp(_fwd, _bwd)

@@ -50,6 +50,38 @@ def test_flash_gradients_match_reference(qkv):
         assert e < 0.25  # bf16 grads
 
 
+def test_flash_backward_kernel_structural():
+    """Tight-tolerance check of the hand-written flash backward
+    (round 3): with exactly-bf16-representable inputs the only error
+    left is the p/ds bf16 casts (both paths make the p cast), so any
+    missing scale factor, transposed operand, or off-by-one block
+    indexing shows up far above the 3e-2 bar. Uses two k-grid steps
+    (t=1024, BK=512) to cover the dq accumulator across steps."""
+    bh, t, d = 2, 1024, 64
+    rng = np.random.default_rng(7)
+    mk = lambda s: jnp.asarray(
+        rng.integers(-4, 5, (bh, t, d)).astype(np.float32) / 4.0,
+        jnp.bfloat16)
+    q, k, v = mk(1), mk(2), mk(3)
+    scale = 1.0 / 8.0
+    g = jnp.asarray(rng.integers(-4, 5, (bh, t, d)).astype(np.float32)
+                    / 4.0, jnp.bfloat16)
+
+    def run(fn):
+        out, vjp = jax.vjp(lambda a, b, c: fn(a, b, c), q, k, v)
+        return out, vjp(g)
+
+    o_f, g_f = run(lambda a, b, c: flash_mha(a, b, c, scale, True))
+    o_r, g_r = run(lambda a, b, c: _ref_mha(a, b, c, scale))
+    assert np.abs(np.asarray(o_f, np.float32)
+                  - np.asarray(o_r, np.float32)).max() < 1e-2
+    for name, a, b in zip("qkv", g_f, g_r):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max()
+        assert np.abs(a - b).max() / denom < 3e-2, name
+
+
 def test_attention_op_short_seq_stays_xla():
     """Temporal/cross shapes (short seq) route through the XLA path on
     any backend — flash requires T multiple of 512."""

@@ -72,7 +72,10 @@ class EngineState:
 
 
 def build_models(cfg: EngineConfig):
-    return (VideoUNet(cfg.unet), ControlNet(cfg.unet, cfg.hint_channels),
+    # Engine-level remat threads into the UNet config so each res/attn
+    # block (in both the UNet and the ControlNet trunk) rematerializes.
+    ucfg = dataclasses.replace(cfg.unet, remat=cfg.remat or cfg.unet.remat)
+    return (VideoUNet(ucfg), ControlNet(ucfg, cfg.hint_channels),
             AutoencoderKL(cfg.vae), CLIPVisionTower(cfg.vit))
 
 
@@ -214,8 +217,11 @@ class SVDEngine:
                 num_video_frames=t, image_only_indicator=ind,
                 control=control)
 
-        if cfg.remat:
-            run = jax.checkpoint(run)
+        # cfg.remat acts PER BLOCK inside VideoUNet (build_models threads
+        # it into UNetConfig) — a jax.checkpoint around this whole run
+        # would save nothing (single chain: the backward recompute peaks
+        # at the same total) while tripling compute with the nested
+        # block checkpoints.
         cast = (lambda p: jax.tree_util.tree_map(
             lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, p)) \
             if dt != jnp.float32 else (lambda p: p)

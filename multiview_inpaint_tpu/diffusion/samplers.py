@@ -351,3 +351,72 @@ def dpmpp2m_sample(denoise_fn, x, cond, uc, sigmas,
     init = (x, jnp.zeros_like(x), jnp.zeros((), x.dtype))
     (x, _, _), _ = jax.lax.scan(step, init, (sigmas[:-1], sigmas[1:]))
     return x
+
+
+def unipc_sample(denoise_fn, x, cond, uc, sigmas,
+                 guider=IdentityGuider()):
+    """UniPC, order 2, the bh2 variant with x0-prediction — the
+    diffusers ``UniPCMultistepScheduler`` defaults the reference swaps
+    into the SD ControlNet inpaint pipeline
+    (``gs-simp/ctrl_inpaint.py:12``), re-derived in Karras sigma space
+    (alpha == 1, lambda = -log sigma).
+
+    Per step: the fresh model eval at the predicted point first
+    *corrects* the previous update (uni_c, order ramping 1 -> 2), then
+    the predictor advances (uni_p; at order 2/bh2 the predictor
+    coincides algebraically with DPM-Solver++(2M)). The corrector is
+    what distinguishes UniPC: each model eval is used twice.
+    """
+    uc = cond if uc is None else uc
+    x = prepare_x(x, sigmas)
+    b = x.shape[0]
+
+    def t_of(s):
+        return -jnp.log(jnp.maximum(s, 1e-10))
+
+    def nz(v):
+        return jnp.where(v == 0, 1.0, v)
+
+    def step(carry, inp):
+        x, last_x, m1, m2, s1, s2 = carry
+        i, sigma, next_sigma = inp
+        s_vec = jnp.full((b,), sigma, x.dtype)
+        m0 = _guided_denoise(denoise_fn, guider, x, s_vec, cond, uc)
+
+        # ---- uni_c: correct the previous predictor update using m0,
+        # the model eval AT the predicted point (i >= 1). ----
+        hc = t_of(sigma) - t_of(s1)
+        bhc = jnp.expm1(-hc)          # B_h = h_phi_1 for bh2
+        x_c_ = (sigma / nz(s1)) * last_x - bhc * m1
+        d1_t = m0 - m1                 # rks[-1] == 1
+        # order-2 coefficients (needs m2, i >= 2)
+        r0 = (t_of(s2) - t_of(s1)) / nz(hc)
+        d1s0 = (m2 - m1) / nz(r0)
+        hphi_k1 = bhc / nz(-hc) - 1.0
+        b1 = hphi_k1 / nz(bhc)
+        hphi_k2 = hphi_k1 / nz(-hc) - 0.5
+        b2 = 2.0 * hphi_k2 / nz(bhc)
+        rho1 = (b1 - b2) / nz(1.0 - r0)
+        rho2 = (b2 - r0 * b1) / nz(1.0 - r0)
+        corr2 = x_c_ - bhc * (rho1 * d1s0 + rho2 * d1_t)
+        corr1 = x_c_ - bhc * 0.5 * d1_t
+        x = jnp.where(i >= 2, corr2, jnp.where(i >= 1, corr1, x))
+
+        # ---- uni_p: advance from the corrected sample with m0 (and
+        # m1 at order 2; identical to DPM++(2M) at bh2). ----
+        h = t_of(next_sigma) - t_of(sigma)
+        bh = jnp.expm1(-h)
+        x_std = (next_sigma / nz(sigma)) * x - bh * m0
+        rp = (t_of(s1) - t_of(sigma)) / nz(h)
+        d1p = (m1 - m0) / nz(rp)
+        x_p2 = x_std - bh * 0.5 * d1p
+        x_next = jnp.where((next_sigma == 0) | (i < 1), x_std, x_p2)
+        _emit("unipc", sigma, x_next)
+        return (x_next, x, m0, m1, sigma, s1), None
+
+    n = sigmas.shape[0] - 1
+    init = (x, x, jnp.zeros_like(x), jnp.zeros_like(x),
+            jnp.ones((), x.dtype), jnp.ones((), x.dtype))
+    (x, *_), _ = jax.lax.scan(
+        step, init, (jnp.arange(n), sigmas[:-1], sigmas[1:]))
+    return x

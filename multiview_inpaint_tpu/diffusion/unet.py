@@ -48,6 +48,11 @@ class UNetConfig:
     adm_in_channels: int = 768
     video_kernel_size: Tuple[int, ...] = (3, 1, 1)
     merge_strategy: str = "learned_with_images"
+    # Rematerialize each res/attn block in the backward pass
+    # (use_checkpoint parity). Block-level, not whole-net: a single
+    # checkpoint over the full forward stores nothing extra but also
+    # saves no peak memory; per-block keeps only block boundaries live.
+    remat: bool = False
 
 
 class VideoUNet(nn.Module):
@@ -75,20 +80,26 @@ class VideoUNet(nn.Module):
             lab = nn.Dense(ted, name="label_emb_0_2")(nn.silu(lab))
             emb = emb + lab
 
+        # static_argnums index the bound __call__ with self at 0; slot 3
+        # is num_video_frames / timesteps (a static int) in both blocks.
+        res_cls = (nn.remat(VideoResBlock, static_argnums=(3,))
+                   if cfg.remat else VideoResBlock)
+        attn_cls = (nn.remat(SpatialVideoTransformer, static_argnums=(3,))
+                    if cfg.remat else SpatialVideoTransformer)
+
         def res(name, out_ch):
-            return VideoResBlock(out_ch, cfg.video_kernel_size,
-                                 cfg.merge_strategy, name=name)
+            return res_cls(out_ch, cfg.video_kernel_size,
+                           cfg.merge_strategy, name=name)
 
         def attn(name, ch):
-            return SpatialVideoTransformer(
+            return attn_cls(
                 ch, ch // cfg.num_head_channels, cfg.num_head_channels,
                 depth=cfg.transformer_depth, context_dim=cfg.context_dim,
                 merge_strategy=cfg.merge_strategy, name=name)
 
-        kw = dict(num_video_frames=num_video_frames,
-                  image_only_indicator=image_only_indicator)
-        akw = dict(timesteps=num_video_frames,
-                   image_only_indicator=image_only_indicator)
+        # Positional args (remat's static_argnums needs fixed slots).
+        kw = (num_video_frames, image_only_indicator)
+        akw = (num_video_frames, image_only_indicator)
 
         hs = []
         feats = []
@@ -103,10 +114,10 @@ class VideoUNet(nn.Module):
         for level, mult in enumerate(cfg.channel_mult):
             for _ in range(cfg.num_res_blocks):
                 ch = mult * ch0
-                h = res(f"input_blocks_{block_i}_0", ch)(h, emb, **kw)
+                h = res(f"input_blocks_{block_i}_0", ch)(h, emb, *kw)
                 if ds in cfg.attention_resolutions:
                     h = attn(f"input_blocks_{block_i}_1", ch)(
-                        h, context, **akw)
+                        h, context, *akw)
                 hs.append(h)
                 feats.append(h)
                 block_i += 1
@@ -117,9 +128,9 @@ class VideoUNet(nn.Module):
                 ds *= 2
                 block_i += 1
 
-        h = res("middle_block_0", ch)(h, emb, **kw)
-        h = attn("middle_block_1", ch)(h, context, **akw)
-        h = res("middle_block_2", ch)(h, emb, **kw)
+        h = res("middle_block_0", ch)(h, emb, *kw)
+        h = attn("middle_block_1", ch)(h, context, *akw)
+        h = res("middle_block_2", ch)(h, emb, *kw)
         feats.append(h)
 
         if extract_features:
@@ -137,10 +148,10 @@ class VideoUNet(nn.Module):
                     skip = skip + control.pop()
                 ch = mult * ch0
                 h = res(f"output_blocks_{block_i}_0", ch)(
-                    jnp.concatenate([h, skip], axis=-1), emb, **kw)
+                    jnp.concatenate([h, skip], axis=-1), emb, *kw)
                 if ds in cfg.attention_resolutions:
                     h = attn(f"output_blocks_{block_i}_1", ch)(
-                        h, context, **akw)
+                        h, context, *akw)
                 if level and i == cfg.num_res_blocks:
                     up_j = 2 if ds in cfg.attention_resolutions else 1
                     h = Upsample(ch, name=f"output_blocks_{block_i}_{up_j}")(h)

@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--num_steps", type=int, default=30)
     p.add_argument("--cfg_scale", type=float, default=7.5)
     p.add_argument("--ctrl_scale", type=float, default=1.0)
+    p.add_argument("--sampler", choices=("unipc", "dpmpp2m"),
+                   default="unipc",
+                   help="unipc matches the reference's "
+                        "UniPCMultistepScheduler (ctrl_inpaint.py:12); "
+                        "dpmpp2m is the round-2 substitute")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--iteration", type=int, default=30000)
     p.add_argument("--context_dim", type=int, default=768,
@@ -142,7 +147,9 @@ def main(argv=None):
         key, k1 = jax.random.split(key)
         x0 = jax.random.normal(k1, latents.shape)
         x2 = jnp.concatenate([x0, x0], axis=0)
-        z = samplers.dpmpp2m_sample(denoise_fn, x2, {}, None, sigmas)[0:1]
+        sample = (samplers.unipc_sample if args.sampler == "unipc"
+                  else samplers.dpmpp2m_sample)
+        z = sample(denoise_fn, x2, {}, None, sigmas)[0:1]
         out = vae.apply({"params": vp}, z / scale, 1,
                         method=AutoencoderKL.decode)
         scene_io.save_image(os.path.join(out_dir, f"ctrl_{i}.png"),

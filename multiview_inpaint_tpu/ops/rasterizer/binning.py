@@ -182,15 +182,18 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
             # ONE combined N-row gather for the rect table and the
             # caller's attribute rows (these permutation gathers are
             # random-access latency-bound, so one pass at 20 lanes
-            # costs what one at 4 does). Int lanes ride as bitcasts;
-            # the aux lanes stay differentiable via the
+            # costs what one at 4 does). Int lanes ride as exact f32
+            # VALUES (all < 2^24: coords <= tiles, count <= num_tiles)
+            # — NOT bitcasts: small int32 bit patterns are f32
+            # denormals, and the TPU f32 copy path flushes denormals
+            # to zero (hardware-measured: bitcast lanes corrupt, value
+            # lanes exact). The aux lanes stay differentiable via the
             # inverse-permutation custom VJP.
             from .segment_reduce import permute_rows
             big = permute_rows(
-                jnp.concatenate(
-                    [jax.lax.bitcast_convert_type(tab, jnp.float32),
-                     aux], axis=1), order)
-            tab = jax.lax.bitcast_convert_type(big[:, :4], jnp.int32)
+                jnp.concatenate([tab.astype(jnp.float32), aux], axis=1),
+                order)
+            tab = jnp.round(big[:, :4]).astype(jnp.int32)
             aux_sorted = big[:, 4:]
         else:
             tab = tab[order]

@@ -9,11 +9,18 @@ Two paths:
   layout (the reference workflow, with any segmenter);
 - ``--auto``: native fallback — segment the inserted object as the
   box-constrained difference between the inpainted frames and the
-  original renders (threshold + morphological cleanup), which is exact
-  where the background is preserved by construction.
+  original renders. Robustified (round 3): a per-channel affine color
+  fit over the outside-box background absorbs global brightness/color
+  shifts (VAE round trip, sampler drift) before differencing, and
+  ``--propagate`` adds temporal mask propagation along the orbit
+  (project frame-i's mask into frame i+1 through the known poses and
+  the box-center plane) — the native stand-in for the reference's AOT
+  tracker (``seg_gs.py:141-160``), unioned with each frame's own
+  difference evidence.
 
     python -m multiview_inpaint_tpu.pipelines.seg_masks \
-        --scene_id <scene>_<case> --ctrl_id 0 --auto [--modes x1 x2]
+        --scene_id <scene>_<case> --ctrl_id 0 --auto --propagate \
+        [--modes x1 x2]
 """
 
 from __future__ import annotations
@@ -47,6 +54,66 @@ def _binary_cleanup(mask: np.ndarray, iters: int = 2) -> np.ndarray:
     return mask
 
 
+def _fit_background(inpainted: np.ndarray, render: np.ndarray,
+                    bg_sel: np.ndarray) -> np.ndarray:
+    """Per-channel affine fit ``inpainted ~ a*render + b`` over the
+    background (outside-box) pixels; returns the corrected render.
+    Real inpainted frames differ from the raw render globally (VAE
+    round trip, lighting drift) — a least-squares gain/offset per
+    channel removes that before differencing."""
+    out = render.copy()
+    if bg_sel.sum() < 16:
+        return out
+    for c in range(render.shape[-1]):
+        x = render[..., c][bg_sel]
+        y = inpainted[..., c][bg_sel]
+        var = float(x.var())
+        if var < 1e-8:
+            a, b = 1.0, float(y.mean() - x.mean())
+        else:
+            a = float(((x - x.mean()) * (y - y.mean())).mean() / var)
+            b = float(y.mean() - a * x.mean())
+        out[..., c] = a * render[..., c] + b
+    return out
+
+
+def propagate_mask(mask: np.ndarray, pose_a: np.ndarray,
+                   pose_b: np.ndarray, k_mat: np.ndarray,
+                   center: np.ndarray) -> np.ndarray:
+    """Project frame-a's object mask into frame b's image through the
+    plane at the box center (normal to a's view axis): unproject each
+    masked a-pixel to the center-plane depth, transform a->world->b,
+    forward-splat into b, close splat holes.
+
+    Exact for planar objects at the center and a good parallax
+    approximation for orbit cameras aimed at it — the native stand-in
+    for AOT's learned tracking (``seg_gs.py:141-160``).
+    """
+    h, w = mask.shape
+    pa = np.eye(4, dtype=np.float64)
+    pa[:pose_a.shape[0]] = pose_a
+    pb = np.eye(4, dtype=np.float64)
+    pb[:pose_b.shape[0]] = pose_b
+    c_a = (np.linalg.inv(pa) @ np.append(center, 1.0))[:3]
+    z0 = float(c_a[2])
+    jj, ii = np.meshgrid(np.arange(w), np.arange(h))
+    x = (jj - k_mat[0, 2]) / k_mat[0, 0] * z0
+    y = (ii - k_mat[1, 2]) / k_mat[1, 1] * z0
+    pts = np.stack([x, y, np.full_like(x, z0, dtype=np.float64),
+                    np.ones_like(x, dtype=np.float64)], 0).reshape(4, -1)
+    cam_b = np.linalg.inv(pb) @ (pa @ pts)
+    z = cam_b[2]
+    zs = np.where(np.abs(z) > 1e-9, z, 1e-9)
+    u = np.round(cam_b[0] / zs * k_mat[0, 0] + k_mat[0, 2]).astype(int)
+    v = np.round(cam_b[1] / zs * k_mat[1, 1] + k_mat[1, 2]).astype(int)
+    sel = ((mask.reshape(-1) > 0.5) & (z > 1e-6)
+           & (u >= 0) & (u < w) & (v >= 0) & (v < h))
+    out = np.zeros_like(mask)
+    out[v[sel], u[sel]] = 1.0
+    # close the splatting holes (forward warp is not surjective)
+    return _binary_cleanup(out, iters=1)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scene_id", required=True)
@@ -63,7 +130,18 @@ def main(argv=None):
     p.add_argument("--auto", action="store_true",
                    help="difference-based native segmentation")
     p.add_argument("--threshold", type=float, default=0.08)
+    p.add_argument("--no_bg_fit", action="store_true",
+                   help="disable the affine background color fit")
+    p.add_argument("--propagate", action="store_true",
+                   help="temporal mask propagation along the orbit "
+                        "(needs poses.npy/cam_center.npy in the seq dir "
+                        "and --fovx/--fovy)")
+    p.add_argument("--fovx", type=float, default=None,
+                   help="horizontal fov (radians) of the seq renders")
+    p.add_argument("--fovy", type=float, default=None)
     args = p.parse_args(argv)
+    if args.propagate and (args.fovx is None or args.fovy is None):
+        raise SystemExit("--propagate needs --fovx and --fovy")
 
     ws = Workspace(args.workspace, args.inpaint_root)
     for mode in args.modes:
@@ -79,6 +157,7 @@ def main(argv=None):
             raise SystemExit("pass --import_dir or --auto")
         seq = ws.seq_dir(args.scene_id, mode, args.iteration)
         inp = ws.inpainted_dir(args.scene_id, args.ctrl_id, mode)
+        masks, boxes = [], []
         for i in range(args.frames):
             v = f"{i:02d}"
             inpainted = scene_io.load_image(os.path.join(inp, f"{v}.png"))
@@ -91,11 +170,31 @@ def main(argv=None):
             box = scene_io.load_image(os.path.join(seq, "mask",
                                                    f"{v}.png"),
                                       resolution=res, grayscale=True)
+            if not args.no_bg_fit:
+                render = _fit_background(inpainted, render, box <= 0.5)
             diff = np.abs(inpainted - render).mean(axis=-1)
             mask = ((diff > args.threshold) & (box > 0.5)).astype(
                 np.float32)
-            mask = _binary_cleanup(mask)
-            scene_io.save_image(os.path.join(out_dir, f"{v}.png"), mask)
+            masks.append(_binary_cleanup(mask))
+            boxes.append(box)
+
+        if args.propagate:
+            poses = np.load(os.path.join(seq, "poses.npy"))
+            center = np.load(os.path.join(seq, "cam_center.npy"))[0]
+            h, w = masks[0].shape
+            k_mat = np.array(
+                [[0.5 * w / np.tan(args.fovx / 2), 0.0, w / 2],
+                 [0.0, 0.5 * h / np.tan(args.fovy / 2), h / 2],
+                 [0.0, 0.0, 1.0]])
+            for i in range(1, len(masks)):
+                prop = propagate_mask(masks[i - 1], poses[i - 1],
+                                      poses[i], k_mat, center)
+                masks[i] = _binary_cleanup(np.maximum(
+                    masks[i], prop * (boxes[i] > 0.5)))
+
+        for i, mask in enumerate(masks):
+            scene_io.save_image(os.path.join(out_dir, f"{i:02d}.png"),
+                                mask)
         print(f"auto {mode} masks -> {out_dir}")
 
 

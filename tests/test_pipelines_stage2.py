@@ -475,3 +475,121 @@ def test_auto_segmentation_quality_vs_ground_truth(tmp_path):
     inter = float(np.logical_and(got, true_mask > 0).sum())
     union = float(np.logical_or(got, true_mask > 0).sum())
     assert inter / union > 0.6, f"IoU {inter / union:.2f}"
+
+
+def test_auto_segmentation_survives_global_shift(tmp_path):
+    """Realistic inpainted frames differ from the raw render globally
+    (VAE round trip, lighting drift): perturb the composited frames
+    with a brightness/contrast shift + noise and require the affine
+    background fit to keep the difference segmenter above IoU 0.6
+    (round-2 VERDICT weak #6)."""
+    import jax.numpy as jnp
+
+    from multiview_inpaint_tpu.gs.cameras import make_camera
+    from multiview_inpaint_tpu.ops.rasterizer import RenderCamera, render
+    from multiview_inpaint_tpu.utils.synthetic import make_gt_gaussians
+
+    root = str(tmp_path)
+    h, w = 48, 64
+    rng = np.random.default_rng(9)
+    bg_params = make_gt_gaussians(seed=1, spread=0.9)
+    obj = make_gt_gaussians(n=12, seed=2, spread=0.15)
+    cam = make_camera(0, np.eye(3), np.array([0.0, 0.0, 3.0]),
+                      fovx=0.9, fovy=0.7, width=w, height=h)
+    rcam = RenderCamera.from_camera(cam)
+    bgc = jnp.zeros(3)
+    bg_out = render(bg_params, rcam, bgc, max_per_tile=256,
+                    pair_budget=8 * bg_params.capacity)
+    obj_out = render(obj, rcam, bgc, max_per_tile=256,
+                     pair_budget=8 * obj.capacity)
+    alpha = np.asarray(obj_out.alpha)
+    true_mask = (alpha > 0.5).astype(np.float32)
+    comp = (np.asarray(obj_out.rgb)
+            + np.asarray(bg_out.rgb) * (1 - alpha[..., None]))
+    # global gain/offset + sensor-ish noise (what the raw difference
+    # thresholding cannot absorb)
+    pert = np.clip(comp * 1.18 + 0.06
+                   + rng.normal(0, 0.015, comp.shape), 0, 1)
+
+    seq = os.path.join(root, "inpaint", "seq", "sc_case", "x1", "ours_7")
+    inp = os.path.join(root, "inpaint", "inpainted", "sc_case", "ctrl_0",
+                       "x1")
+    os.makedirs(os.path.join(seq, "renders"))
+    os.makedirs(os.path.join(seq, "mask"))
+    os.makedirs(inp)
+    box = np.zeros((h, w), np.float32)
+    ys, xs = np.where(true_mask > 0)
+    box[max(0, ys.min() - 4):ys.max() + 5,
+        max(0, xs.min() - 4):xs.max() + 5] = 1.0
+    for i in range(2):
+        v = f"{i:02d}"
+        scene_io.save_image(os.path.join(seq, "renders", f"{v}.png"),
+                            np.asarray(bg_out.rgb))
+        scene_io.save_image(os.path.join(seq, "mask", f"{v}.png"), box)
+        scene_io.save_image(os.path.join(inp, f"{v}.png"), pert)
+
+    seg_masks.main(["--scene_id", "sc_case", "--ctrl_id", "0",
+                    "--modes", "x1", "--frames", "2", "--iteration", "7",
+                    "--auto", "--workspace", root])
+    got = scene_io.load_image(
+        os.path.join(root, "inpaint", "sam_mask", "sc_case", "ctrl_0",
+                     "x1", "00.png"), grayscale=True) > 0.5
+    inter = float(np.logical_and(got, true_mask > 0).sum())
+    union = float(np.logical_or(got, true_mask > 0).sum())
+    assert inter / union > 0.6, f"IoU {inter / union:.2f}"
+    # and the un-fit segmenter must actually be worse on this input,
+    # or the perturbation isn't exercising anything
+    seg_masks.main(["--scene_id", "sc_case", "--ctrl_id", "0",
+                    "--modes", "x1", "--frames", "2", "--iteration", "7",
+                    "--auto", "--no_bg_fit", "--workspace", root])
+    raw = scene_io.load_image(
+        os.path.join(root, "inpaint", "sam_mask", "sc_case", "ctrl_0",
+                     "x1", "00.png"), grayscale=True) > 0.5
+    inter_r = float(np.logical_and(raw, true_mask > 0).sum())
+    union_r = float(np.logical_or(raw, true_mask > 0).sum())
+    assert inter_r / union_r < inter / union
+
+
+def test_mask_propagation_consistency():
+    """Propagating a frame's object mask to the next orbit view through
+    the known poses must land on the next view's true silhouette (the
+    native stand-in for AOT tracking, seg_gs.py:141-160)."""
+    import jax.numpy as jnp
+
+    from multiview_inpaint_tpu.gs.cameras import make_camera, retarget
+    from multiview_inpaint_tpu.ops.rasterizer import RenderCamera, render
+    from multiview_inpaint_tpu.pipelines.seg_masks import propagate_mask
+    from multiview_inpaint_tpu.utils.synthetic import make_gt_gaussians
+
+    h, w = 48, 64
+    fovx, fovy = 0.9, 0.7
+    obj = make_gt_gaussians(n=12, seed=2, spread=0.15)
+    center = np.asarray(obj.xyz)[:12].mean(axis=0)
+    cam0 = make_camera(0, np.eye(3), np.array([0.0, 0.0, 3.0]),
+                      fovx=fovx, fovy=fovy, width=w, height=h)
+    th = np.radians(12.0)
+    ry = np.array([[np.cos(th), 0, np.sin(th)],
+                   [0, 1, 0],
+                   [-np.sin(th), 0, np.cos(th)]])
+    rot = np.eye(4)
+    rot[:3, :3] = ry
+    rot[:3, 3] = center - ry @ center     # rotate about the object
+    c2w1 = rot @ cam0.camera_to_world
+    cam1 = retarget(cam0, c2w1)
+
+    bgc = jnp.zeros(3)
+    outs = []
+    for cam in (cam0, cam1):
+        o = render(obj, RenderCamera.from_camera(cam), bgc,
+                   max_per_tile=256, pair_budget=8 * obj.capacity)
+        outs.append((np.asarray(o.alpha) > 0.5).astype(np.float32))
+    m0, m1 = outs
+    assert m0.sum() > 40 and m1.sum() > 40
+
+    k_mat = np.array([[0.5 * w / np.tan(fovx / 2), 0, w / 2],
+                      [0, 0.5 * h / np.tan(fovy / 2), h / 2],
+                      [0, 0, 1.0]])
+    prop = propagate_mask(m0, cam0.camera_to_world, c2w1, k_mat, center)
+    inter = float(np.logical_and(prop > 0.5, m1 > 0.5).sum())
+    union = float(np.logical_or(prop > 0.5, m1 > 0.5).sum())
+    assert inter / union > 0.6, f"IoU {inter / union:.2f}"

@@ -34,12 +34,14 @@ regression, a B=128 3-matmul variant still 5 ms):
     SMEM scalars, so the tail math stays vectorized.
 
 Exactness: every dotted lane is an integer-valued delta small enough
-for a 2-term bf16 split (bf16 represents integers <= 256 exactly, and
-x - bf16(x) <= ulp/2 <= 256 for x < 2^17): d_starts = per-gaussian
-pair count <= num_tiles < 2^16, d_x0/d_y0/d_w are tile coords < 257.
-``starts`` values themselves (< pair_budget < 2^24) are never dotted,
-only compared, and 3 bf16 terms reconstruct any integer < 2^24's f32
-value exactly. Accumulation is f32 (`preferred_element_type`).
+for an exact bf16 split into 8-bit chunks (see ``_bf16_mask_split`` —
+the chunks MUST be built with integer masks, not f32 remainders, or
+XLA-TPU excess precision folds the split to identity): d_starts =
+per-gaussian pair count <= num_tiles < 2^16 (2 chunks), d_x0/d_y0/d_w
+are tile coords < 257 (1 lane each). ``starts`` values themselves
+(< pair_budget <= 0xFF0000) are never dotted, only compared, and 3
+8-bit chunks reconstruct the exact f32 value. Accumulation is f32
+(`preferred_element_type`).
 
 Replaces: the reference CUDA ``duplicateWithKeys``
 (diff-gaussian-rasterization forward), reimagined for the TPU: no
@@ -60,7 +62,8 @@ K = B + 32       # gaussian window per block: <= B starts inside a
                  # block, +16 window alignment (bf16 sublane tile), +
                  # margin; multiple of 16.
 GROUP = 8        # blocks per grid step (amortizes per-step overhead)
-BIG = 3.0e7      # sentinel start: beyond any slot index, f32-exact enough
+BIG = 0xFF0000   # sentinel start: beyond any slot index; 8 significant
+                 # bits -> exactly bf16-representable (hi-chunk aligned)
 INT_MAX = 2 ** 31 - 1  # python int: jnp constants would be captured consts
 
 # Lane map of the bf16 table (within 128-lane rows). The DOTTED
@@ -148,12 +151,25 @@ def _kernel(gid_bits, tiles_x, g0r_ref, total_ref, table_ref, base_ref,
                               jnp.int32(INT_MAX), key)
 
 
-def _bf16_pair(x):
-    """2-term bf16 split of small-integer-valued f32 (exact, see module
-    docstring)."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+def _bf16_mask_split(x_i32, masks):
+    """Exact multi-term bf16 split of NONNEGATIVE int32 via 8-bit chunks.
+
+    Each masked chunk carries <= 8 significant bits, so its f32 value is
+    exactly bf16-representable and the terms sum back to x exactly.
+
+    Why integer masks and not ``x - bf16(x)`` remainders: XLA-TPU runs
+    with excess precision allowed and folds the f32->bf16->f32
+    round-trip inside the remainder into identity, so the remainder
+    lanes lower to all-zeros and the only rounding left happens at the
+    bf16 table store.  On hardware this silently truncated ``starts`` to
+    bf16 (267 -> 268, 281 -> 280, ...), flipping the ``s <= j``
+    indicator at every non-representable integer and corrupting ~60% of
+    sort keys at 1080p, while CPU/interpret (which honors the
+    round-trip) matched the oracle bit-exactly.  Integer bitwise-ands
+    cannot be folded by that pass.
+    """
+    return tuple((x_i32 & m).astype(jnp.float32).astype(jnp.bfloat16)
+                 for m in masks)
 
 
 @partial(jax.jit, static_argnames=("n", "gid_bits", "tiles_x",
@@ -172,23 +188,28 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
       total: [] int32 true total pair count (slots past it -> INT_MAX).
     Returns keys [pair_budget] int32 (compact-rank id space).
     """
-    assert pair_budget < 2 ** 24, "slot indices must stay f32-exact"
     nb = -(-pair_budget // B)
     nb_pad = -(-nb // GROUP) * GROUP
     p_pad = nb_pad * B
+    assert p_pad <= BIG, "slot indices must stay below the bf16 sentinel"
 
-    starts_f = jnp.where(active_c, starts_c.astype(jnp.float32), BIG)
-    s_hi = starts_f.astype(jnp.bfloat16)
-    r1 = starts_f - s_hi.astype(jnp.float32)
-    s_mid = r1.astype(jnp.bfloat16)
-    s_lo = (r1 - s_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    starts_i = jnp.where(active_c, starts_c, jnp.int32(BIG))
+    starts_f = starts_i.astype(jnp.float32)
+    s_hi, s_mid, s_lo = _bf16_mask_split(
+        starts_i, (0xFF0000, 0x00FF00, 0x0000FF))
 
     def delta(v):
         vf = jnp.where(active_c, v.astype(jnp.float32), 0.0)
         return jnp.diff(jnp.concatenate([jnp.zeros((1,), jnp.float32),
                                          vf]))
 
-    ds_hi, ds_lo = _bf16_pair(delta(starts_c))
+    # delta(starts) over actives = per-gaussian pair counts (nonneg,
+    # < 2^16); the negative active->inactive boundary delta never fires
+    # (inactive rows compare at BIG), so zero it for mask exactness.
+    ds_i = jnp.diff(jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.where(active_c, starts_c, 0)]))
+    ds_i = jnp.where(active_c, ds_i, 0)
+    ds_hi, ds_lo = _bf16_mask_split(ds_i, (0xFF00, 0x00FF))
     zero = jnp.zeros_like(s_hi)
     chans = jnp.stack([
         ds_hi, ds_lo,

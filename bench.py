@@ -1,8 +1,20 @@
 """Benchmark: 1080p differentiable splat render (RGB+depth) FPS per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is FPS / 100 (the driver's north-star target of >=100 FPS at
-1080p, BASELINE.md "Rebuild targets"; the reference publishes no numbers).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"breakdown"} where vs_baseline is FPS / 100 (the driver's north-star
+target of >=100 FPS at 1080p, BASELINE.md "Rebuild targets"; the
+reference publishes no numbers).
+
+The breakdown makes "fast" auditable instead of asserted:
+- per-stage times from jitted multi-op sub-graphs (single-op timings lie
+  under the axon tunnel; composite graphs track real code changes),
+- two ON-DEVICE measured ceilings — HBM copy bandwidth and dense bf16
+  MXU matmul throughput — and the hot stages' achieved fractions of
+  them: the pair gather's bytes/s vs the copy ceiling, and the
+  composite's MXU flops (its per-chunk cost is dominated by the
+  [PIX,CHUNK]x[CHUNK,CHUNK] prefix-sum tri-matmuls) vs the matmul
+  ceiling. The composite also reports pair-pixels/s, its
+  hardware-independent work rate.
 
 Runs on whatever the default JAX backend is (the driver provides one real
 TPU chip via axon). Scene: 100k procedurally-placed gaussians.
@@ -15,13 +27,28 @@ import time
 import numpy as np
 
 
+def _timeit(fn, *args, iters=10):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from multiview_inpaint_tpu.gs import gaussians
     from multiview_inpaint_tpu.gs.cameras import make_camera
-    from multiview_inpaint_tpu.ops.rasterizer import RenderCamera, render
+    from multiview_inpaint_tpu.ops.rasterizer import (RenderCamera,
+                                                      binning, geometry,
+                                                      pallas_composite,
+                                                      render,
+                                                      segment_reduce)
     from multiview_inpaint_tpu.utils import sh as sh_utils
     from multiview_inpaint_tpu.utils.schedules import inverse_sigmoid
 
@@ -47,35 +74,156 @@ def main():
     rcam = RenderCamera.from_camera(cam)
     bg = jnp.zeros(3, jnp.float32)
 
-    # 13*n covers this scene's true pair count (~11.8*n with the 3-sigma
+    # 13*n covers this scene's true pair count (~12.2*n with the 3-sigma
     # AABB rects). Every budgeted slot rides the pair sort and the
     # attribute gather, so the budget is kept tight and overflow-checked
     # below before timing. (Segments are unaligned since round 3 — no
-    # alignment-padding pairs exist.)
-    kwargs = dict(sh_degree=0, pair_budget=13 * n, backend="pallas")
+    # alignment-padding pairs exist. 8x16 tiles measured 29.9 FPS vs
+    # 16x16's 43.0: the +71% pair count beats the halved per-pair pixel
+    # work — see PERF.md round 3.)
+    PB = 13 * n
+    kwargs = dict(sh_degree=0, pair_budget=PB, backend="pallas")
 
     # Warmup / compile.
     out = render(params, rcam, bg, **kwargs)
     jax.block_until_ready(out.rgb)
 
     # No-overflow check: the timed config must not clip pairs.
-    if int(out.pairs) > kwargs["pair_budget"]:
+    if int(out.pairs) > PB:
         print(f"pair budget overflow: {int(out.pairs)}", file=sys.stderr)
         return 1
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = render(params, rcam, bg, **kwargs)
-    jax.block_until_ready(out.rgb)
-    dt = (time.perf_counter() - t0) / iters
+    dt, out = _timeit(lambda: render(params, rcam, bg, **kwargs),
+                      iters=20)
     fps = 1.0 / dt
+
+    # ---- breakdown: stage times (each a jitted composite sub-graph) ---
+    tiles_x, tiles_y = -(-1920 // 16), -(-1080 // 16)
+    CHUNK = pallas_composite.CHUNK
+
+    @jax.jit
+    def stage_project(params):
+        return geometry.project_gaussians(
+            params.xyz, params.features(), params.act_opacity()[:, 0],
+            params.act_scaling(), params.act_rotation(), params.live,
+            rcam.world_view, rcam.full_proj, rcam.campos, rcam.tan_fovx,
+            rcam.tan_fovy, rcam.width, rcam.height, 0, 1.0, None)
+
+    @jax.jit
+    def stage_binning(proj):
+        packed = pallas_composite.pack_attrs(
+            proj.means2d, proj.conic, proj.opacity, proj.color,
+            proj.depth)
+        return binning.bin_gaussians(
+            proj.means2d, proj.radius, proj.depth, tiles_x, tiles_y,
+            16, 16, PB, 1024, gather_ids=False, aligned_chunk=CHUNK,
+            extent=proj.extent, expand_kernel=True, aux=packed)
+
+    @jax.jit
+    def stage_gather(bins):
+        pk = jnp.concatenate(
+            [bins.aux_sorted,
+             jnp.zeros((1, bins.aux_sorted.shape[1]))])
+        return segment_reduce.gather_pairs(pk, bins.gid_sorted,
+                                           bins.rank_lo).T
+
+    @jax.jit
+    def stage_composite(attrs_t, seg_start, counts):
+        return pallas_composite.composite_pallas(
+            attrs_t, seg_start, counts, bg, tiles_x, tiles_y)
+
+    t_proj, proj = _timeit(stage_project, params)
+    t_bin, bins = _timeit(stage_binning, proj)
+    t_gather, attrs_t = _timeit(stage_gather, bins)
+    t_comp, _ = _timeit(stage_composite, attrs_t, bins.seg_start,
+                        bins.counts)
+
+    # ---- on-device ceilings ------------------------------------------
+    # Single-op calls through the axon tunnel pay ~2-4 ms of dispatch,
+    # which would understate both ceilings ~8x. So: measure the null
+    # dispatch itself (subtracted from the stage times below), and time
+    # N dependent passes inside ONE jit for each ceiling.
+    t_disp, _ = _timeit(jax.jit(lambda x: x), jnp.zeros((8, 128)))
+
+    # HBM bandwidth: 16 loop-carried x*c+1 passes over 256 MiB — each
+    # reads+writes the buffer; the multiply keeps XLA from folding the
+    # chain into one pass.
+    big = jnp.zeros((64 * 1024 * 1024,), jnp.float32)
+    passes = 16
+
+    @jax.jit
+    def hbm_chain(x):
+        return jax.lax.fori_loop(
+            0, passes, lambda i, x: x * 1.000000119 + 1.0, x)
+
+    t_copy, _ = _timeit(hbm_chain, big)
+    hbm_gbps = passes * 2 * big.size * 4 / max(t_copy - t_disp,
+                                               1e-9) / 1e9
+
+    # MXU ceiling: 16 chained dense bf16 4096^3 matmuls, 137.4 GFLOP
+    # each.
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def mm_chain(a):
+        return jax.lax.fori_loop(0, passes, lambda i, x: x @ a, a)
+
+    t_mm, _ = _timeit(mm_chain, a)
+    mxu_tflops = passes * 2 * 4096 ** 3 / max(t_mm - t_disp,
+                                              1e-9) / 1e12
+
+    # ---- achieved fractions ------------------------------------------
+    pairs = int(out.pairs)
+    # Gather stage: random-access read of 16 f32 rows per budgeted slot
+    # + sequential write (the measured floor is latency, not bandwidth —
+    # the fraction shows exactly how far below the streaming ceiling
+    # random access lands).
+    gather_bytes = PB * 16 * 4 * 2
+    gather_gbps = gather_bytes / max(t_gather - t_disp, 1e-9) / 1e9
+
+    # Composite: chunk iterations (upper bound; saturation early-exit
+    # can retire tiles sooner) and the tri-matmul MXU flops they imply.
+    seg = np.asarray(bins.seg_start)
+    cnt = np.asarray(bins.counts)
+    off = seg - (seg // CHUNK) * CHUNK
+    chunks = int(np.sum(np.where(cnt > 0,
+                                 -(-(off + cnt) // CHUNK), 0)))
+    pix = 256
+    t_comp_net = max(t_comp - t_disp, 1e-9)
+    comp_mxu_flops = chunks * 2 * 2 * pix * CHUNK * CHUNK  # 2 bf16 passes
+    comp_mxu_frac = comp_mxu_flops / t_comp_net / 1e12 / mxu_tflops
+    pair_pixels_per_s = pairs * pix / t_comp_net
+
+    # Stage times carry one tunnel dispatch each; report them net of
+    # the measured null dispatch so they sum toward full_frame.
+    net = lambda t: round(max(t - t_disp, 0.0) * 1e3, 2)  # noqa: E731
+    breakdown = {
+        "dispatch_ms": round(t_disp * 1e3, 2),
+        "stages_ms": {
+            "project": net(t_proj),
+            "binning": net(t_bin),
+            "pair_gather": net(t_gather),
+            "composite": net(t_comp),
+            "full_frame": round(dt * 1e3, 2),
+        },
+        "pairs": pairs,
+        "ceilings": {
+            "hbm_copy_gbps": round(hbm_gbps, 1),
+            "mxu_bf16_tflops": round(mxu_tflops, 1),
+        },
+        "gather_gbps": round(gather_gbps, 1),
+        "gather_hbm_frac": round(gather_gbps / hbm_gbps, 3),
+        "composite_chunk_iters": chunks,
+        "composite_mxu_frac": round(comp_mxu_frac, 3),
+        "composite_gpairpix_per_s": round(pair_pixels_per_s / 1e9, 2),
+    }
 
     print(json.dumps({
         "metric": "splat_render_1080p_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 100.0, 3),
+        "breakdown": breakdown,
     }))
 
 

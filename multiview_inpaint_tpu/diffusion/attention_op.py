@@ -19,8 +19,10 @@ import jax
 import jax.numpy as jnp
 
 # Flash pays off when the materialized logits would dominate; the kernel
-# wants sequence lengths divisible by its 512/1024 blocks.
-_FLASH_MIN_LEN = 1024
+# needs sequence lengths divisible by its 256/512 blocks. 768 covers the
+# ds2 spatial blocks, whose XLA-SDP f32 [B,H,768,768] logits were the
+# largest backward temps in the full-size training step's OOM dump.
+_FLASH_MIN_LEN = 768
 
 
 @lru_cache(maxsize=1)
@@ -43,7 +45,7 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vh = v.astype(dt).reshape(b, tk, heads, d)
 
     if (_flash_ok() and tq == tk and tq >= _FLASH_MIN_LEN
-            and tq % 512 == 0 and d <= 128):
+            and tq % 256 == 0 and d <= 128):
         from .flash_attention import flash_mha
         sm = (1.0 / d ** 0.5) if scale is None else scale
         fold = lambda x: x.transpose(0, 2, 1, 3).reshape(  # noqa: E731

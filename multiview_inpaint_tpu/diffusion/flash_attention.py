@@ -36,22 +36,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BQ = 512   # query block (rows per grid step)
-BK = 512   # key/value block (inner-loop tile)
+BQ = 512   # preferred query block (rows per grid step)
+BK = 512   # preferred key/value block (inner-loop tile)
 NEG = -1e30
 LANES = 128  # lane-broadcast width for softmax-stat residuals
 
 
-def _kernel(scale, t, save_lse, q_ref, k_ref, v_ref, o_ref,
+def _blocks(t: int) -> int:
+    """Largest supported block size dividing t (512 preferred; 256
+    covers the 768-token ds2 spatial shapes — the block A/B measured
+    <10% spread over 256-1024, so smaller blocks cost little)."""
+    for b in (BQ, 256):
+        if t % b == 0:
+            return b
+    raise ValueError(f"flash_mha: T={t} not a multiple of 256")
+
+
+def _kernel(scale, t, bq, bk, save_lse, q_ref, k_ref, v_ref, o_ref,
             lse_ref=None):
-    q = q_ref[0]                                  # [BQ, D] bf16
+    q = q_ref[0]                                  # [bq, D] bf16
     d = q.shape[-1]
-    nk = t // BK
+    nk = t // bk
 
     def body(i, carry):
         acc, m, denom = carry
-        kc = k_ref[0, pl.ds(i * BK, BK), :]       # [BK, D] bf16
-        vc = v_ref[0, pl.ds(i * BK, BK), :]
+        kc = k_ref[0, pl.ds(i * bk, bk), :]       # [bk, D] bf16
+        vc = v_ref[0, pl.ds(i * bk, bk), :]
         s = jax.lax.dot_general(
             q, kc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [BQ, BK] f32
@@ -65,34 +75,35 @@ def _kernel(scale, t, save_lse, q_ref, k_ref, v_ref, o_ref,
         acc = acc * corr + pv
         return acc, m_new, denom
 
-    acc = jnp.zeros((BQ, d), jnp.float32)
-    m = jnp.full((BQ, 1), NEG, jnp.float32)
-    denom = jnp.zeros((BQ, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+    m = jnp.full((bq, 1), NEG, jnp.float32)
+    denom = jnp.zeros((bq, 1), jnp.float32)
     acc, m, denom = jax.lax.fori_loop(0, nk, body, (acc, m, denom))
     o_ref[0] = (acc / denom).astype(o_ref.dtype)
     if save_lse:
-        # Row logsumexp in the lane-broadcast [BQ, 128] layout (q rows
+        # Row logsumexp in the lane-broadcast [bq, 128] layout (q rows
         # stay in sublanes — no transpose; same trick as the stock jax
         # TPU kernel's l/m refs).
-        lse_ref[0] = jnp.broadcast_to(m + jnp.log(denom), (BQ, LANES))
+        lse_ref[0] = jnp.broadcast_to(m + jnp.log(denom), (bq, LANES))
 
 
 def _flash_fwd_impl(q, k, v, scale, interpret, save_lse=False):
     """q/k/v [BH, T, D] bf16 -> [BH, T, D] (+ lse [BH, T, 128] f32)."""
     bh, t, d = q.shape
-    grid = (bh, t // BQ)
-    out_specs = pl.BlockSpec((1, BQ, d), lambda b, i: (b, i, 0))
+    bq = bk = _blocks(t)
+    grid = (bh, t // bq)
+    out_specs = pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0))
     out_shape = jax.ShapeDtypeStruct((bh, t, d), q.dtype)
     if save_lse:
         out_specs = (out_specs,
-                     pl.BlockSpec((1, BQ, LANES), lambda b, i: (b, i, 0)))
+                     pl.BlockSpec((1, bq, LANES), lambda b, i: (b, i, 0)))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((bh, t, LANES), jnp.float32))
     out = pl.pallas_call(
-        functools.partial(_kernel, scale, t, save_lse),
+        functools.partial(_kernel, scale, t, bq, bk, save_lse),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BQ, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0)),
         ],
@@ -103,8 +114,8 @@ def _flash_fwd_impl(q, k, v, scale, interpret, save_lse=False):
     return out
 
 
-def _bwd_kernel(scale, t, q_ref, do_ref, k_ref, v_ref, lse_ref, dlt_ref,
-                dq_ref, dk_ref, dv_ref):
+def _bwd_kernel(scale, t, bq, bk, q_ref, do_ref, k_ref, v_ref, lse_ref,
+                dlt_ref, dq_ref, dk_ref, dv_ref):
     """One k/v block per grid step; dq accumulates across steps.
 
     dq_ref's index map pins the same (b, 0, 0) block for every k step of
@@ -112,10 +123,10 @@ def _bwd_kernel(scale, t, q_ref, do_ref, k_ref, v_ref, lse_ref, dlt_ref,
     grid is sequential) and is written back once per batch row.
     """
     kb = pl.program_id(1)
-    kc = k_ref[0]                                  # [BK, D] bf16
+    kc = k_ref[0]                                  # [bk, D] bf16
     vc = v_ref[0]
     d = kc.shape[-1]
-    nq = t // BQ
+    nq = t // bq
 
     @pl.when(kb == 0)
     def _():
@@ -123,36 +134,36 @@ def _bwd_kernel(scale, t, q_ref, do_ref, k_ref, v_ref, lse_ref, dlt_ref,
 
     def body(j, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(j * BQ, BQ), :]         # [BQ, D] bf16
-        do = do_ref[0, pl.ds(j * BQ, BQ), :]
-        lse = lse_ref[0, pl.ds(j * BQ, BQ), :]     # [BQ, 128] f32
-        dlt = dlt_ref[0, pl.ds(j * BQ, BQ), :]
+        q = q_ref[0, pl.ds(j * bq, bq), :]         # [bq, D] bf16
+        do = do_ref[0, pl.ds(j * bq, bq), :]
+        lse = lse_ref[0, pl.ds(j * bq, bq), :]     # [bq, 128] f32
+        dlt = dlt_ref[0, pl.ds(j * bq, bq), :]
         s = jax.lax.dot_general(
             q, kc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [BQ, BK]
-        p = jnp.exp(s - jnp.tile(lse, (1, BK // LANES)))
+            preferred_element_type=jnp.float32) * scale   # [bq, bk]
+        p = jnp.exp(s - jnp.tile(lse, (1, bk // LANES)))
         pb = p.astype(jnp.bfloat16)
         # dV += P^T dO  (contract over q rows)
         dv_acc += jax.lax.dot_general(
             pb, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [BK, D]
+            preferred_element_type=jnp.float32)    # [bk, D]
         # dP = dO V^T ; dS = P * (dP - delta) * scale
         dp = jax.lax.dot_general(
             do, vc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [BQ, BK]
-        ds = (p * (dp - jnp.tile(dlt, (1, BK // LANES)))
+            preferred_element_type=jnp.float32)    # [bq, bk]
+        ds = (p * (dp - jnp.tile(dlt, (1, bk // LANES)))
               * scale).astype(jnp.bfloat16)
         # dK += dS^T Q (contract over q rows); dQ_j += dS K
         dk_acc += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [BK, D]
-        dq_ref[0, pl.ds(j * BQ, BQ), :] += jax.lax.dot_general(
+            preferred_element_type=jnp.float32)    # [bk, D]
+        dq_ref[0, pl.ds(j * bq, bq), :] += jax.lax.dot_general(
             ds, kc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [BQ, D]
+            preferred_element_type=jnp.float32)    # [bq, D]
         return dk_acc, dv_acc
 
-    dk_acc = jnp.zeros((BK, d), jnp.float32)
-    dv_acc = jnp.zeros((BK, d), jnp.float32)
+    dk_acc = jnp.zeros((bk, d), jnp.float32)
+    dv_acc = jnp.zeros((bk, d), jnp.float32)
     dk_acc, dv_acc = jax.lax.fori_loop(0, nq, body, (dk_acc, dv_acc))
     dk_ref[0] = dk_acc.astype(dk_ref.dtype)
     dv_ref[0] = dv_acc.astype(dv_ref.dtype)
@@ -166,12 +177,13 @@ def _flash_bwd_impl(q, k, v, o, lse, g, scale, interpret):
                     axis=-1)                       # [BH, T]
     delta = jnp.broadcast_to(delta[:, :, None], (bh, t, LANES))
     g = g.astype(q.dtype)
-    grid = (bh, t // BK)
+    bq = bk = _blocks(t)
+    grid = (bh, t // bk)
     full = pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0))
-    kblk = pl.BlockSpec((1, BK, d), lambda b, i: (b, i, 0))
+    kblk = pl.BlockSpec((1, bk, d), lambda b, i: (b, i, 0))
     stat = pl.BlockSpec((1, t, LANES), lambda b, i: (b, 0, 0))
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale, t),
+        functools.partial(_bwd_kernel, scale, t, bq, bk),
         grid=grid,
         in_specs=[full, full, kblk, kblk, stat, stat],
         out_specs=(pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0)),
@@ -196,7 +208,7 @@ def _ref_mha(q, k, v, scale):
 def flash_mha(q, k, v, scale: float, interpret: bool = False):
     """Batched multi-head attention, [BH, T, D] bf16/f32 inputs.
 
-    T must be a multiple of 512; D <= 128. Forward = the bf16 Pallas
+    T must be a multiple of 256; D <= 128. Forward = the bf16 Pallas
     kernel; backward = the single-pass Pallas flash backward (see
     module docstring).
     """

@@ -129,7 +129,10 @@ def train(args):
     step_fn = make_dp_train_step(
         eng, optimizer, ema_decay=(args.ema_decay if args.ema else None),
         train_label_emb=args.train_label_emb, use_warp=args.warp_loss)
-    ema = trainable
+    # The dp step donates state AND ema; the EMA tree must own distinct
+    # buffers (trainable is the state's own leaves — aliasing them would
+    # donate the same buffer twice).
+    ema = jax.tree_util.tree_map(jnp.copy, trainable)
 
     mesh = make_mesh(min(args.devices or len(jax.devices()),
                          len(jax.devices())))

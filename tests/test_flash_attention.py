@@ -82,6 +82,33 @@ def test_flash_backward_kernel_structural():
         assert np.abs(a - b).max() / denom < 3e-2, name
 
 
+def test_flash_256_block_path():
+    """768-token shapes (the ds2 spatial blocks) use the 256-token
+    block fallback (t % 512 != 0) — values and grads must still match
+    the reference (round 3: these shapes were the largest f32 SDP
+    logits in the full-size training step's OOM dump)."""
+    bh, t, d = 2, 768, 64
+    q = jax.random.normal(jax.random.key(4), (bh, t, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.key(5), (bh, t, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(6), (bh, t, d), jnp.bfloat16)
+    scale = 1.0 / 8.0
+    out = flash_mha(q, k, v, scale, True)
+    ref = _ref_mha(q, k, v, scale)
+    assert np.abs(np.asarray(out, np.float32)
+                  - np.asarray(ref, np.float32)).max() < 0.02
+
+    def grads(fn):
+        return jax.grad(lambda a, b, c: jnp.sum(
+            fn(a, b, c).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(grads(lambda a, b, c: flash_mha(a, b, c, scale,
+                                                    True)),
+                    grads(lambda a, b, c: _ref_mha(a, b, c, scale))):
+        assert np.abs(np.asarray(a, np.float32)
+                      - np.asarray(b, np.float32)).max() < 0.25
+
+
 def test_attention_op_short_seq_stays_xla():
     """Temporal/cross shapes (short seq) route through the XLA path on
     any backend — flash requires T multiple of 512."""

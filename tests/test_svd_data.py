@@ -247,7 +247,10 @@ def test_dp_train_step_with_warp():
     with mesh:
         est_r = replicate_state(est, mesh)
         opt_r = replicate_state(opt_state, mesh)
-        ema_r = replicate_state(trainable_params(est), mesh)
+        # copy: the dp step donates state AND ema — aliased leaves would
+        # donate the same buffer twice
+        ema_r = replicate_state(jax.tree_util.tree_map(
+            jnp.copy, trainable_params(est)), mesh)
         latents_b, cond_b = shard_svd_batch(latents_b, cond_b, mesh)
         _, _, _, loss = step(est_r, opt_r, ema_r, jax.random.key(1),
                              latents_b, cond_b)

@@ -72,8 +72,9 @@ def _lane_cumsum(x, exclusive: bool = False):
     return dot(hi) + dot(lo)
 
 
-def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, starts_ref,
-            counts_ref, attrs_ref, bg_ref, out_ref, scratch, sems):
+def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
+            starts_ref, counts_ref, attrs_ref, bg_ref, out_ref, scratch,
+            sems):
     pix = tile_h * tile_w
     t = pl.program_id(0)
     txg = pl.program_id(1)
@@ -99,12 +100,17 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, starts_ref,
     def _():
         issue_chunk0(0, 0)
 
+    # Tile-LOCAL pixel coords hoisted out of the group loop: identical
+    # for every tile, and the iota+mod+div chain rebuilt per tile
+    # measured 1.4 ms/frame at 1080p (ablation, PERF.md round 3).
+    lin = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    pxl = jnp.mod(lin, tile_w).astype(jnp.float32)
+    pyl = (lin // tile_w).astype(jnp.float32)
+
     def one_tile(g, _):
         tx = txg * group + g
-        # Tile pixel coordinates [pix, 1].
-        lin = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
-        px = (tx * tile_w + jnp.mod(lin, tile_w)).astype(jnp.float32)
-        py = (t * tile_h + lin // tile_w).astype(jnp.float32)
+        px = pxl + (tx * tile_w).astype(jnp.float32)
+        py = pyl + (t * tile_h).astype(jnp.float32)
 
         row = t * tiles_x + tx
         start = win_base(row)
@@ -138,12 +144,22 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, starts_ref,
             issue_chunk0(row + 1, ((row + 1) % 2) * 2)
 
         def cond(state):
-            i, t_carry, _, _ = state
+            i, t_carry, _ = state
+            if not early_exit:
+                # The saturation check costs more than it saves on
+                # short-segment scenes: the per-chunk [pix,1] max +
+                # vector->scalar sync in a data-dependent loop bound
+                # measured 1.3-1.5 ms/frame at 1080p (avg 1.2 chunks
+                # per tile — the exit almost never fires before the
+                # segment ends). Output is identical either way: the
+                # contrib gate inside the body already zeroes
+                # saturated contributions.
+                return i < n_chunks
             return jnp.logical_and(i < n_chunks,
                                    jnp.max(t_carry) >= T_STOP)
 
         def body(state):
-            i, t_carry, rgb_acc, d_acc = state
+            i, t_carry, acc4 = state
 
             @pl.when(i + 1 < n_chunks)
             def _():
@@ -158,8 +174,14 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, starts_ref,
 
             dx = px - a[0:1, :]          # [PIX, CHUNK]
             dy = py - a[1:2, :]
-            power = (-0.5 * (a[2:3, :] * dx * dx + a[4:5, :] * dy * dy)
-                     - a[3:4, :] * dx * dy)
+            # fma-chain form of -0.5(ca dx^2 + cc dy^2) - cb dx dy:
+            # 7 [PIX,CHUNK] ops vs 10 (the negated conic rows are
+            # [1,CHUNK] — near-free).
+            qxx = -0.5 * a[2:3, :]
+            qxy = -a[3:4, :]
+            qyy = -0.5 * a[4:5, :]
+            u = qxx * dx + qxy * dy
+            power = u * dx + (qyy * dy) * dy
             alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
             alpha = jnp.where(
                 (alpha >= a[10:11, :]) & valid & (power <= 0.0),
@@ -186,7 +208,7 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, starts_ref,
             wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
             cdb = cd.astype(jnp.bfloat16)
             cdl = (cd - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = (jax.lax.dot_general(
+            acc4 = acc4 + (jax.lax.dot_general(
                        whi, cdb, (((1,), (0,)), ((), ())),
                        preferred_element_type=jnp.float32)
                    + jax.lax.dot_general(
@@ -195,33 +217,31 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, starts_ref,
                    + jax.lax.dot_general(
                        whi, cdl, (((1,), (0,)), ((), ())),
                        preferred_element_type=jnp.float32))
-            rgb_acc = rgb_acc + acc[:, :3]
-            d_acc = d_acc + acc[:, 3:4]
             # VPU lane reduce: an MXU ones-column dot here measured a
             # 4 ms/frame REGRESSION (small-N matmuls stall the pipe).
             t_next = t_carry * jnp.exp(
                 jnp.sum(jnp.where(contrib, logs, 0.0), axis=1,
                         keepdims=True))
-            return i + 1, t_next, rgb_acc, d_acc
+            return i + 1, t_next, acc4
 
         init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
-                jnp.zeros((pix, 3), jnp.float32),
-                jnp.zeros((pix, 1), jnp.float32))
-        i_end, t_fin, rgb_acc, d_acc = jax.lax.while_loop(cond, body,
-                                                          init)
+                jnp.zeros((pix, 4), jnp.float32))
+        i_end, t_fin, acc4 = jax.lax.while_loop(cond, body, init)
 
         # Saturation exit leaves chunk i_end's DMA in flight (started in
         # body i_end-1). Retire it, or its stale semaphore signal would
-        # let the tile two rows ahead read its slot mid-copy.
+        # let the tile two rows ahead read its slot mid-copy. (With
+        # early_exit=False i_end == n_chunks and this is a no-op.)
         @pl.when(i_end < n_chunks)
         def _():
             get_dma(base + i_end % 2, i_end).wait()
 
-        bg = bg_ref[0:3, 0]  # [3]
-        rgb = rgb_acc + t_fin * bg[None, :]
-        dep = d_acc + t_fin * DEPTH_EMPTY
+        # bg rows 0-2 = background rgb, row 3 = DEPTH_EMPTY: one fused
+        # [pix, 4] background composite over the joint rgb+depth
+        # accumulator.
+        rgbd = acc4 + t_fin * bg_ref[0:4, 0][None, :]
         out = jnp.concatenate(
-            [rgb, dep, t_fin, jnp.zeros((pix, 3), jnp.float32)], axis=1)
+            [rgbd, t_fin, jnp.zeros((pix, 3), jnp.float32)], axis=1)
         out_ref[0, g] = out.T  # [8, pix]
         return 0
 
@@ -229,12 +249,20 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, starts_ref,
 
 
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_h",
-                                   "tile_w", "interpret"))
+                                   "tile_w", "interpret", "early_exit"))
 def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                      counts: jnp.ndarray, bg_color: jnp.ndarray,
                      tiles_x: int, tiles_y: int, tile_h: int = TILE_H,
-                     tile_w: int = TILE_W, interpret: bool = False):
-    """attrs_t [NROWS, P] pair-sorted packed attrs; returns [T, 8, pix]."""
+                     tile_w: int = TILE_W, interpret: bool = False,
+                     early_exit: bool = False):
+    """attrs_t [NROWS, P] pair-sorted packed attrs; returns [T, 8, pix].
+
+    ``early_exit`` enables the per-tile saturation break in the chunk
+    loop. The OUTPUT is identical either way (the in-body contrib gate
+    zeroes saturated splats); it is purely a perf knob — the check's
+    vector->scalar sync costs ~1.4 ms/frame at 1080p where segments
+    average ~1.2 chunks, and only pays off on deep-segment scenes.
+    """
     pix = tile_h * tile_w
     assert pix % 128 == 0, "tile pixel count must be a lane multiple"
     num_tiles = tiles_x * tiles_y
@@ -243,6 +271,7 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
     # amortizes it 8x. GROUP must divide tiles_x.
     group = next(g for g in (8, 6, 5, 4, 3, 2, 1) if tiles_x % g == 0)
     bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
+    bg = bg.at[3, 0].set(DEPTH_EMPTY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x // group),
@@ -259,7 +288,8 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
         ],
     )
     out = pl.pallas_call(
-        partial(_kernel, group, tiles_x, tiles_y, tile_h, tile_w),
+        partial(_kernel, group, tiles_x, tiles_y, tile_h, tile_w,
+                early_exit),
         out_shape=jax.ShapeDtypeStruct((tiles_y, tiles_x, 8, pix),
                                        jnp.float32),
         grid_spec=grid_spec,

@@ -10,9 +10,16 @@ inputs. Decides where the round-3 kernel work should go:
   nolog     log1p dropped                             (log1p cost)
   noexpcum  exp(prefix) dropped                       (2nd exp cost)
   nocum     prefix tri-matmuls dropped                (MXU prefix cost)
-  mxupower  REAL candidate: power+log(op) as a [PIX,12]@[12,CHUNK]
-            basis matmul (coefficients shifted to tile-local coords and
-            hi/lo bf16 split in-register)
+  mxupower  power+log(op) as a [PIX,12]@[12,CHUNK] basis matmul
+            (measured: LOSES 2.8 ms — k=12 matmul serializes with the
+            prefix matmuls)
+  power7    fma-restructured power: u=qxx*dx+qxy*dy; p=u*dx+(qyy*dy)*dy
+            with per-chunk negated conic rows (7 ops vs 10)
+  pipelined REAL candidate: software-pipelined chunk loop — chunk i+1's
+            carry-independent front (power/alpha/logs/prefix matmul)
+            computed in body(i) so the MXU prefix matmul overlaps chunk
+            i's carry-dependent VPU tail (exp/t_in/w/color matmul)
+  pipe7     pipelined + power7
 
 Values are wrong for the stubs (timing only); mxupower is numerically
 real and also reports max|rgb - base_rgb|.
@@ -80,11 +87,245 @@ def make_kernel(variant, group, tiles_x, tiles_y, tile_h, tile_w):
         def _():
             issue_chunk0(0, 0)
 
-        def one_tile(g, _):
+        # Hoisted tile-local pixel coords: identical for every tile of
+        # the group (the iota+mod+div chain measured ~1.4 ms/frame when
+        # rebuilt per tile).
+        lin_h = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+        pxl_h = jnp.mod(lin_h, tile_w).astype(jnp.float32)
+        pyl_h = (lin_h // tile_w).astype(jnp.float32)
+
+        def one_tile_hoist(g, _):
+            tx = txg * group + g
+            ox = (tx * tile_w).astype(jnp.float32)
+            oy = (t * tile_h).astype(jnp.float32)
+            px = pxl_h + ox
+            py = pyl_h + oy
+            row = t * tiles_x + tx
+            start = win_base(row)
+            off = starts_ref[row] - start
+            count = counts_ref[row]
+            seg_end = off + count
+            n_chunks = jnp.where(count > 0, pl.cdiv(seg_end, CHUNK), 0)
+            base = (row % 2) * 2
+
+            def get_dma(slot, chunk_idx):
+                return pltpu.make_async_copy(
+                    attrs_ref.at[:, pl.ds(start + chunk_idx * CHUNK,
+                                          CHUNK)],
+                    scratch.at[slot], sems.at[slot])
+
+            @pl.when(row + 1 < tiles_x * tiles_y)
+            def _():
+                issue_chunk0(row + 1, ((row + 1) % 2) * 2)
+
+            def cond(state):
+                i, t_carry = state[0], state[1]
+                if variant == "hoistnoexit":
+                    return i < n_chunks
+                return jnp.logical_and(i < n_chunks,
+                                       jnp.max(t_carry) >= T_STOP)
+
+            def body(state):
+                i, t_carry, acc4, = state
+
+                @pl.when(i + 1 < n_chunks)
+                def _():
+                    get_dma(base + (i + 1) % 2, i + 1).start()
+
+                get_dma(base + i % 2, i).wait()
+                a = scratch[base + i % 2]
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                sl = i * CHUNK + lane
+                valid = (sl >= off) & (sl < seg_end)
+                dx = px - a[0:1, :]
+                dy = py - a[1:2, :]
+                qxx = -0.5 * a[2:3, :]
+                qxy = -a[3:4, :]
+                qyy = -0.5 * a[4:5, :]
+                u = qxx * dx + qxy * dy
+                power = u * dx + (qyy * dy) * dy
+                alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
+                alpha = jnp.where(
+                    (alpha >= a[10:11, :]) & valid & (power <= 0.0),
+                    alpha, 0.0)
+                logs = jnp.log1p(-alpha)
+                cum_ex = _lane_cumsum(logs, exclusive=True)
+                t_in = t_carry * jnp.exp(cum_ex)
+                t_out = t_in * (1.0 - alpha)
+                contrib = t_out >= T_STOP
+                w = jnp.where(contrib, alpha * t_in, 0.0)
+                cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0).T
+                whi = w.astype(jnp.bfloat16)
+                wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+                cdb = cd.astype(jnp.bfloat16)
+                cdl = (cd - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc4 = acc4 + (
+                    jax.lax.dot_general(
+                        whi, cdb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        wlo, cdb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(
+                        whi, cdl, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                t_next = t_carry * jnp.exp(
+                    jnp.sum(jnp.where(contrib, logs, 0.0), axis=1,
+                            keepdims=True))
+                return i + 1, t_next, acc4
+
+            init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
+                    jnp.zeros((pix, 4), jnp.float32))
+            i_end, t_fin, acc4 = jax.lax.while_loop(cond, body, init)
+
+            @pl.when(i_end < n_chunks)
+            def _():
+                get_dma(base + i_end % 2, i_end).wait()
+
+            bgd = bg_ref[0:4, 0]  # rows 0-2 bg rgb, row 3 = DEPTH_EMPTY
+            rgbd = acc4 + t_fin * bgd[None, :]          # [pix, 4]
+            if variant == "outpix8":
+                out_ref[0, g, :, 0:4] = rgbd
+                out_ref[0, g, :, 4:5] = t_fin
+            else:
+                out = jnp.concatenate(
+                    [rgbd, t_fin, jnp.zeros((pix, 3), jnp.float32)],
+                    axis=1)
+                out_ref[0, g] = out.T
+            return 0
+
+        def one_tile_pipelined(g, _):
             tx = txg * group + g
             lin = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
-            pxl = jnp.mod(lin, tile_w).astype(jnp.float32)
-            pyl = (lin // tile_w).astype(jnp.float32)
+            px = (tx * tile_w + jnp.mod(lin, tile_w)).astype(jnp.float32)
+            py = (t * tile_h + lin // tile_w).astype(jnp.float32)
+            row = t * tiles_x + tx
+            start = win_base(row)
+            off = starts_ref[row] - start
+            count = counts_ref[row]
+            seg_end = off + count
+            n_chunks = jnp.where(count > 0, pl.cdiv(seg_end, CHUNK), 0)
+            base = (row % 2) * 2
+
+            def get_dma(slot, chunk_idx):
+                return pltpu.make_async_copy(
+                    attrs_ref.at[:, pl.ds(start + chunk_idx * CHUNK,
+                                          CHUNK)],
+                    scratch.at[slot], sems.at[slot])
+
+            @pl.when(row + 1 < tiles_x * tiles_y)
+            def _():
+                issue_chunk0(row + 1, ((row + 1) % 2) * 2)
+
+            def front(i):
+                """Carry-independent work of chunk i (reads its slot)."""
+                a = scratch[base + i % 2]
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                sl = i * CHUNK + lane
+                valid = (sl >= off) & (sl < seg_end)
+                if variant == "pipe7":
+                    dx = px - a[0:1, :]
+                    dy = py - a[1:2, :]
+                    qxx = -0.5 * a[2:3, :]
+                    qxy = -a[3:4, :]
+                    qyy = -0.5 * a[4:5, :]
+                    u = qxx * dx + qxy * dy
+                    power = u * dx + (qyy * dy) * dy
+                else:
+                    dx = px - a[0:1, :]
+                    dy = py - a[1:2, :]
+                    power = (-0.5 * (a[2:3, :] * dx * dx
+                                     + a[4:5, :] * dy * dy)
+                             - a[3:4, :] * dx * dy)
+                alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
+                alpha = jnp.where(
+                    (alpha >= a[10:11, :]) & valid & (power <= 0.0),
+                    alpha, 0.0)
+                logs = jnp.log1p(-alpha)
+                cum_ex = _lane_cumsum(logs, exclusive=True)
+                cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0)
+                return alpha, logs, cum_ex, cd
+
+            @pl.when(n_chunks > 0)
+            def _():
+                get_dma(base + 0, 0).wait()
+            f0 = front(0)  # garbage when n_chunks == 0; never consumed
+
+            @pl.when(n_chunks > 1)
+            def _():
+                get_dma(base + 1, 1).start()
+
+            def cond(state):
+                i, t_carry = state[0], state[1]
+                return jnp.logical_and(i < n_chunks,
+                                       jnp.max(t_carry) >= T_STOP)
+
+            def body(state):
+                (i, t_carry, rgb_acc, d_acc,
+                 alpha_c, logs_c, cum_c, cd_c) = state
+
+                @pl.when(i + 2 < n_chunks)
+                def _():
+                    get_dma(base + i % 2, i + 2).start()
+
+                @pl.when(i + 1 < n_chunks)
+                def _():
+                    get_dma(base + (i + 1) % 2, i + 1).wait()
+                alpha_n, logs_n, cum_n, cd_n = front(i + 1)
+
+                t_in = t_carry * jnp.exp(cum_c)
+                t_out = t_in * (1.0 - alpha_c)
+                contrib = t_out >= T_STOP
+                w = jnp.where(contrib, alpha_c * t_in, 0.0)
+                cdt = cd_c.T
+                whi = w.astype(jnp.bfloat16)
+                wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+                cdb = cdt.astype(jnp.bfloat16)
+                cdl = (cdt - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc = (jax.lax.dot_general(
+                           whi, cdb, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           wlo, cdb, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           whi, cdl, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32))
+                rgb_acc = rgb_acc + acc[:, :3]
+                d_acc = d_acc + acc[:, 3:4]
+                t_next = t_carry * jnp.exp(
+                    jnp.sum(jnp.where(contrib, logs_c, 0.0), axis=1,
+                            keepdims=True))
+                return (i + 1, t_next, rgb_acc, d_acc,
+                        alpha_n, logs_n, cum_n, cd_n)
+
+            init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
+                    jnp.zeros((pix, 3), jnp.float32),
+                    jnp.zeros((pix, 1), jnp.float32)) + f0
+            out_state = jax.lax.while_loop(cond, body, init)
+            i_end, t_fin, rgb_acc, d_acc = out_state[:4]
+
+            @pl.when(i_end + 1 < n_chunks)
+            def _():
+                get_dma(base + (i_end + 1) % 2, i_end + 1).wait()
+
+            bg = bg_ref[0:3, 0]
+            rgb = rgb_acc + t_fin * bg[None, :]
+            dep = d_acc + t_fin * DEPTH_EMPTY
+            out = jnp.concatenate(
+                [rgb, dep, t_fin, jnp.zeros((pix, 3), jnp.float32)],
+                axis=1)
+            out_ref[0, g] = out.T
+            return 0
+
+        def one_tile(g, _):
+            tx = txg * group + g
+            if variant == "noiota":
+                pxl = pyl = jnp.full((pix, 1), 3.0, jnp.float32)
+            else:
+                lin = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+                pxl = jnp.mod(lin, tile_w).astype(jnp.float32)
+                pyl = (lin // tile_w).astype(jnp.float32)
             ox = (tx * tile_w).astype(jnp.float32)
             oy = (t * tile_h).astype(jnp.float32)
             px = pxl + ox
@@ -135,7 +376,19 @@ def make_kernel(variant, group, tiles_x, tiles_y, tile_h, tile_w):
                 sl = i * CHUNK + lane
                 valid = (sl >= off) & (sl < seg_end)
 
-                if variant == "mxupower":
+                if variant == "power7":
+                    dx = px - a[0:1, :]
+                    dy = py - a[1:2, :]
+                    qxx = -0.5 * a[2:3, :]
+                    qxy = -a[3:4, :]
+                    qyy = -0.5 * a[4:5, :]
+                    u = qxx * dx + qxy * dy
+                    power = u * dx + (qyy * dy) * dy
+                    alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
+                    alpha = jnp.where(
+                        (alpha >= a[10:11, :]) & valid & (power <= 0.0),
+                        alpha, 0.0)
+                elif variant == "mxupower":
                     mxl = a[0:1, :] - ox
                     myl = a[1:2, :] - oy
                     qxx = -0.5 * a[2:3, :]
@@ -218,23 +471,36 @@ def make_kernel(variant, group, tiles_x, tiles_y, tile_h, tile_w):
             init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
                     jnp.zeros((pix, 3), jnp.float32),
                     jnp.zeros((pix, 1), jnp.float32))
-            i_end, t_fin, rgb_acc, d_acc = jax.lax.while_loop(
-                cond, body, init)
+            if variant == "nowhile":  # no saturation early-exit
+                i_end, t_fin, rgb_acc, d_acc = jax.lax.while_loop(
+                    lambda s: s[0] < n_chunks, body, init)
+            else:
+                i_end, t_fin, rgb_acc, d_acc = jax.lax.while_loop(
+                    cond, body, init)
 
             @pl.when(i_end < n_chunks)
             def _():
                 get_dma(base + i_end % 2, i_end).wait()
 
-            bg = bg_ref[0:3, 0]
-            rgb = rgb_acc + t_fin * bg[None, :]
-            dep = d_acc + t_fin * DEPTH_EMPTY
-            out = jnp.concatenate(
-                [rgb, dep, t_fin, jnp.zeros((pix, 3), jnp.float32)],
-                axis=1)
-            out_ref[0, g] = out.T
+            if variant == "noepi":
+                out_ref[0, g] = jnp.full((8, pix), 0.25, jnp.float32) \
+                    * t_fin[0, 0]
+            else:
+                bg = bg_ref[0:3, 0]
+                rgb = rgb_acc + t_fin * bg[None, :]
+                dep = d_acc + t_fin * DEPTH_EMPTY
+                out = jnp.concatenate(
+                    [rgb, dep, t_fin, jnp.zeros((pix, 3), jnp.float32)],
+                    axis=1)
+                out_ref[0, g] = out.T
             return 0
 
-        jax.lax.fori_loop(0, group, one_tile, 0)
+        if variant in ("pipelined", "pipe7"):
+            jax.lax.fori_loop(0, group, one_tile_pipelined, 0)
+        elif variant in ("hoist", "hoistnoexit", "outpix8"):
+            jax.lax.fori_loop(0, group, one_tile_hoist, 0)
+        else:
+            jax.lax.fori_loop(0, group, one_tile, 0)
 
     return _kernel
 
@@ -249,9 +515,24 @@ def composite_variant(variant, attrs_t, seg_start, counts, bg_color,
     from multiview_inpaint_tpu.ops.rasterizer.pallas_composite import (
         CHUNK, NROWS)
 
+    from multiview_inpaint_tpu.ops.rasterizer.composite import DEPTH_EMPTY
+
     pix = tile_h * tile_w
     group = 8
     bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
+    bg = bg.at[3, 0].set(DEPTH_EMPTY)
+    if variant == "outpix8":
+        out_specs = pl.BlockSpec((1, group, pix, 8),
+                                 lambda t, txg, *_: (t, txg, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((tiles_y, tiles_x, pix, 8),
+                                         jnp.float32)
+    else:
+        out_specs = pl.BlockSpec((1, group, 8, pix),
+                                 lambda t, txg, *_: (t, txg, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((tiles_y, tiles_x, 8, pix),
+                                         jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(tiles_y, tiles_x // group),
@@ -259,9 +540,7 @@ def composite_variant(variant, attrs_t, seg_start, counts, bg_color,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, group, 8, pix),
-                               lambda t, txg, *_: (t, txg, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((4, NROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -269,11 +548,12 @@ def composite_variant(variant, attrs_t, seg_start, counts, bg_color,
     )
     out = pl.pallas_call(
         make_kernel(variant, group, tiles_x, tiles_y, tile_h, tile_w),
-        out_shape=jax.ShapeDtypeStruct((tiles_y, tiles_x, 8, pix),
-                                       jnp.float32),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=INTERPRET,
     )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), attrs_t, bg)
+    if variant == "outpix8":
+        return out.reshape(tiles_x * tiles_y, pix, 8)
     return out.reshape(tiles_x * tiles_y, 8, pix)
 
 
@@ -351,9 +631,11 @@ def main():
         note = ""
         if v == "base":
             base_rgb = np.asarray(out[:, 0:3, :])
-        elif v == "mxupower" and base_rgb is not None:
-            err = float(np.abs(np.asarray(out[:, 0:3, :])
-                               - base_rgb).max())
+        elif v in ("mxupower", "pipelined", "pipe7", "power7", "hoist",
+                   "hoistnoexit", "outpix8") and base_rgb is not None:
+            got = (np.moveaxis(np.asarray(out[:, :, 0:3]), 2, 1)
+                   if v == "outpix8" else np.asarray(out[:, 0:3, :]))
+            err = float(np.abs(got - base_rgb).max())
             note = f" maxerr={err:.2e}"
         dt_c = time.perf_counter() - t0
         print(f"{v}: {dt*1e3:.2f} ms (compile {dt_c:.0f}s){note}",

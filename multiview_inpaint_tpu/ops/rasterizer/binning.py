@@ -65,6 +65,11 @@ class TileBins(NamedTuple):
     # caller-supplied per-gaussian rows permuted into rank order (rides
     # the same single N-row gather as the rect table; differentiable).
     aux_sorted: jnp.ndarray | None = None
+    # smallest valid expansion window for this frame (expand-kernel path
+    # only): > the static ``expand_window`` means keys were corrupted
+    # this frame and the caller must re-jit with a bigger window (the
+    # kernel costs ~P*window/128 MXU cycles — keep it tight).
+    expand_needed: jnp.ndarray = 0
 
 
 def _delta(v):
@@ -126,7 +131,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   extent: jnp.ndarray | None = None,
                   expand_kernel: bool = False,
                   interpret: bool = False,
-                  aux: jnp.ndarray | None = None) -> TileBins:
+                  aux: jnp.ndarray | None = None,
+                  expand_window: int = 0) -> TileBins:
     """``aligned_chunk`` > 0 selects the Pallas segment layout. With
     packed keys the layout is UNALIGNED (no padding pairs at all — the
     kernels DMA from the 128-aligned enclosing window and mask lanes);
@@ -216,15 +222,17 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         # folded into ``order`` above.
         from .pair_expand import expand_keys
 
-        key = expand_keys(starts.astype(jnp.int32), x0, y0, rect_w,
-                          active, total, n, gid_bits, tiles_x,
-                          pair_budget, interpret=interpret)
+        key, expand_needed = expand_keys(
+            starts.astype(jnp.int32), x0, y0, rect_w, active, total, n,
+            gid_bits, tiles_x, pair_budget, window=expand_window,
+            interpret=interpret)
     else:
         # Pair slot j belongs to gaussian i = last index with
         # starts[i] <= j. ONE small scatter of per-gaussian deltas at the
         # segment starts + cumsums over the slot axis reconstructs every
         # per-slot value (duplicate starts from count-0 gaussians
         # accumulate their deltas, which telescopes correctly).
+        expand_needed = jnp.int32(0)
         gid_c, tile, invalid = _expand_slots(
             starts, x0, y0, rect_w, total, n, tiles_x, num_tiles,
             pair_budget)
@@ -237,7 +245,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         return _seg_bins(key, active, x0, y0, rect_w, starts, ends,
                          total, n, gid_bits, tiles_x, tiles_y,
                          num_tiles, pair_budget,
-                         order)._replace(aux_sorted=aux_sorted)
+                         order)._replace(aux_sorted=aux_sorted,
+                                         expand_needed=expand_needed)
 
     if packed_ok:
         key_s = jnp.sort(key)

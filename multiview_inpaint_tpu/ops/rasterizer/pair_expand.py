@@ -58,9 +58,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 B = 256          # pair slots per block
-K = B + 32       # gaussian window per block: <= B starts inside a
-                 # block, +16 window alignment (bf16 sublane tile), +
-                 # margin; multiple of 16.
+K = B + 32       # WORST-CASE gaussian window per block: <= B starts
+                 # inside a block, +16 window alignment (bf16 sublane
+                 # tile), + margin; multiple of 16. The kernel's cost is
+                 # ~P*K/128 MXU cycles (profiled: the [K,128]@[K,B]
+                 # indicator matmul is the whole 3.1 ms at 1080p), so
+                 # callers pass a TIGHT ``window`` and grow on the
+                 # returned overflow signal (adaptive, like the pair
+                 # budget): scenes with fat rects need far fewer than
+                 # B starts per block.
 GROUP = 8        # blocks per grid step (amortizes per-step overhead)
 BIG = 0xFF0000   # sentinel start: beyond any slot index; 8 significant
                  # bits -> exactly bf16-representable (hi-chunk aligned)
@@ -76,8 +82,8 @@ _L_S0, _L_S1, _L_S2 = 8, 9, 10
 # 4 w, 5 count — matching the delta channel semantics.
 
 
-def _kernel(gid_bits, tiles_x, g0r_ref, total_ref, table_ref, base_ref,
-            out_ref, vals_s, scratch, sems):
+def _kernel(gid_bits, tiles_x, window, g0r_ref, total_ref, table_ref,
+            base_ref, out_ref, vals_s, scratch, sems):
     step = pl.program_id(0)
     total = total_ref[0]
 
@@ -85,7 +91,7 @@ def _kernel(gid_bits, tiles_x, g0r_ref, total_ref, table_ref, base_ref,
         blk = step * GROUP + g
         g0 = pl.multiple_of(g0r_ref[blk], 16)
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(g0, K), :], scratch.at[g % 2],
+            table_ref.at[pl.ds(g0, window), :], scratch.at[g % 2],
             sems.at[g % 2])
 
     get_dma(0).start()
@@ -173,11 +179,12 @@ def _bf16_mask_split(x_i32, masks):
 
 
 @partial(jax.jit, static_argnames=("n", "gid_bits", "tiles_x",
-                                   "pair_budget", "interpret"))
+                                   "pair_budget", "window", "interpret"))
 def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
                 y0_c: jnp.ndarray, w_c: jnp.ndarray, active_c: jnp.ndarray,
                 total: jnp.ndarray, n: int, gid_bits: int, tiles_x: int,
-                pair_budget: int, interpret: bool = False) -> jnp.ndarray:
+                pair_budget: int, window: int = 0,
+                interpret: bool = False):
     """[P]-slot packed sort keys from compacted per-gaussian rects.
 
     Args (all [N], compacted: active (count>0) gaussians first, in depth
@@ -186,8 +193,18 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
       x0_c/y0_c: rect origin in tiles; w_c: rect width in tiles.
       active_c: bool, count>0 rows.
       total: [] int32 true total pair count (slots past it -> INT_MAX).
-    Returns keys [pair_budget] int32 (compact-rank id space).
+      window: per-block gaussian window size (static; 0 -> the
+        always-correct worst case ``K``). The kernel costs ~P*window/128
+        MXU cycles, so tight windows matter; when the scene needs more
+        than ``window`` rows for some block, that block's keys are wrong
+        — the returned ``needed`` tells the caller to re-jit bigger
+        (adaptive, like pair-budget growth).
+    Returns ``(keys [pair_budget] int32 (compact-rank id space),
+    needed [] int32)`` where ``needed`` is the smallest valid ``window``
+    for this frame's data.
     """
+    window = window or K
+    assert window % 16 == 0, "window must be a bf16-sublane multiple"
     nb = -(-pair_budget // B)
     nb_pad = -(-nb // GROUP) * GROUP
     p_pad = nb_pad * B
@@ -220,7 +237,7 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
         zero, zero,
         s_hi, s_mid, s_lo,
     ], axis=1)                                        # [N, 11]
-    rows = -(-(n + K) // 16) * 16
+    rows = -(-(n + window) // 16) * 16
     table = jnp.zeros((rows, 128), jnp.bfloat16)
     table = table.at[:, _L_S0].set(jnp.bfloat16(BIG))  # pads never fire
     table = table.at[:n, :chans.shape[1]].set(chans)
@@ -234,6 +251,13 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
                          side="right", method="sort").astype(jnp.int32)
         - 1, 0)
     g0r = (g_first // 16) * 16
+    # Smallest valid window for this data: block b's window must reach
+    # the owner of its last slot, upper-bounded by g_first[b+1] (the
+    # owner of the next block's first slot; rows past it compare at
+    # starts > slot and contribute nothing).
+    g_last_ub = jnp.concatenate(
+        [g_first[1:], jnp.full((1,), max(n - 1, 0), jnp.int32)])
+    needed = jnp.max(g_last_ub - g0r) + 1
 
     # per-block channel baselines = cumulative values at g0r-1 (all rows
     # below g0r are active and precede every slot of the block); a
@@ -263,14 +287,14 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((GROUP, 8, B), jnp.float32),    # phase-1 sums
-            pltpu.VMEM((2, K, 128), jnp.bfloat16),
+            pltpu.VMEM((2, window, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     keys = pl.pallas_call(
-        partial(_kernel, gid_bits, tiles_x),
+        partial(_kernel, gid_bits, tiles_x, window),
         out_shape=jax.ShapeDtypeStruct((nb_pad, B), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(g0r, jnp.asarray(total, jnp.int32).reshape(1), table, base)
-    return keys.reshape(p_pad)[:pair_budget]
+    return keys.reshape(p_pad)[:pair_budget], needed

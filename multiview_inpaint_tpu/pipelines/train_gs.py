@@ -71,6 +71,7 @@ def train(args) -> None:
     stack = []
     t_start = time.time()
     pair_mult = args.pair_budget_mult
+    expand_window = args.expand_window
     for iteration in range(first_iter + 1, cfg.iterations + 1):
         if not stack:
             stack = list(scene.train_cameras())
@@ -89,7 +90,7 @@ def train(args) -> None:
             state, rcam, gt, bg, cfg, spatial_lr_scale=spatial,
             sh_degree=sh_degree, max_per_tile=args.max_per_tile,
             pair_budget_mult=pair_mult,
-            backend=args.backend)
+            backend=args.backend, expand_window=expand_window)
         key, sub = jax.random.split(key)
         state, info = gs_trainer.maybe_densify(state, sub, cfg, spatial,
                                                iteration)
@@ -132,6 +133,14 @@ def train(args) -> None:
                 args.pair_budget_mult = pair_mult  # eval/live renders too
                 logger.echo(f"[ITER {iteration}] pair budget -> "
                             f"{pair_mult}x capacity ({pairs} pairs seen)")
+            if expand_window:
+                # Tightened expansion window (opt-in): grow before the
+                # measured need reaches it (re-jit, like the budget).
+                need = int(metrics.expand_needed)
+                if need > expand_window - 16:
+                    expand_window = -(-(need + 64) // 16) * 16
+                    logger.echo(f"[ITER {iteration}] expand window -> "
+                                f"{expand_window} (need {need})")
             logger.log(iteration, loss=metrics.loss, l1=metrics.l1,
                        points=int(metrics.num_live),
                        capacity=state.params.capacity, pairs=pairs,
@@ -188,6 +197,13 @@ def main(argv=None):
     parser.add_argument("--capacity", type=int, default=None)
     parser.add_argument("--max_per_tile", type=int, default=1024)
     parser.add_argument("--pair_budget_mult", type=int, default=4)
+    parser.add_argument("--expand_window", type=int, default=0,
+                        help="pair-expansion window (pallas backend): "
+                             "0 = worst-case 288 (always exact); a "
+                             "tight value (e.g. 128) cuts the expansion "
+                             "kernel's MXU cycles ~P*window/128 and "
+                             "auto-grows at log intervals when the "
+                             "measured need approaches it")
     parser.add_argument("--backend", default="auto",
                         choices=["auto", "xla", "pallas"],
                         help="rasterizer backend (pallas = fused TPU "

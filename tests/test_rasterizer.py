@@ -396,3 +396,36 @@ def test_expand_kernel_matches_xla_expansion():
         return np.where(g == n, n, o[np.clip(g, 0, n - 1)])
 
     np.testing.assert_array_equal(mapped(a), mapped(b))
+
+
+def test_expand_window_adaptive():
+    """A tight expansion window reproduces the worst-case keys exactly,
+    and the returned ``needed`` detects too-small windows (the adaptive
+    grow-and-re-jit contract, like pair-budget overflow)."""
+    import numpy as np
+
+    from multiview_inpaint_tpu.ops.rasterizer import binning
+
+    rng = np.random.default_rng(5)
+    n = 400
+    means2d = jnp.asarray(rng.uniform(-10, 70, (n, 2)), jnp.float32)
+    radius = jnp.asarray(rng.integers(0, 9, n), jnp.int32)
+    depth = jnp.asarray(rng.uniform(0.5, 9.0, n), jnp.float32)
+    kw = dict(tiles_x=4, tiles_y=3, tile_w=16, tile_h=16,
+              pair_budget=2048, max_per_tile=64, gather_ids=False,
+              aligned_chunk=128, expand_kernel=True, interpret=True)
+    a = binning.bin_gaussians(means2d, radius, depth, **kw)
+    need = int(a.expand_needed)
+    assert 0 < need <= 288
+    tight = max(-(-need // 16) * 16, 16)
+    b = binning.bin_gaussians(means2d, radius, depth, **kw,
+                              expand_window=tight)
+    assert int(b.expand_needed) == need <= tight
+    np.testing.assert_array_equal(np.asarray(a.gid_sorted),
+                                  np.asarray(b.gid_sorted))
+    np.testing.assert_array_equal(np.asarray(a.counts),
+                                  np.asarray(b.counts))
+    if need > 32:  # a provably too-small window must be detectable
+        c = binning.bin_gaussians(means2d, radius, depth, **kw,
+                                  expand_window=16)
+        assert int(c.expand_needed) > 16

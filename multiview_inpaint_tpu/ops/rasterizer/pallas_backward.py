@@ -139,15 +139,19 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
                 attrs_ref.at[:, pl.ds(start + chunk_idx * CHUNK, CHUNK)],
                 scratch.at[slot], sems.at[slot])
 
+        log_stop = jnp.log(jnp.float32(T_STOP))
+
         def cond(state):
-            i, t_carry, _ = state
+            i, lt_carry, _ = state
             if not early_exit:
                 return i < n_chunks  # see forward-kernel note
             return jnp.logical_and(i < n_chunks,
-                                   jnp.max(t_carry) >= T_STOP)
+                                   jnp.max(lt_carry) >= log_stop)
 
         def body(state):
-            i, t_carry, prefix = state
+            # Log-space transmittance carry, bit-matching the forward
+            # kernel's recompute (see its note).
+            i, lt_carry, prefix = state
 
             @pl.when(i + 1 < n_chunks)
             def _():
@@ -175,7 +179,7 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
             logs = jnp.log1p(-alpha)
             # Exclusive prefix, matching the forward kernel's recompute.
             cum_ex = _lane_cumsum(logs, exclusive=True)
-            t_in = t_carry * jnp.exp(cum_ex)
+            t_in = jnp.exp(cum_ex + lt_carry)
             t_out = t_in * (1.0 - alpha)
             contrib = t_out >= T_STOP
             w = jnp.where(contrib, alpha * t_in, 0.0)
@@ -286,13 +290,12 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
                 gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
                 gsem.at[i % 2]).start()
 
-            t_next = t_carry * jnp.exp(
-                jnp.sum(jnp.where(contrib, logs, 0.0), axis=1,
-                        keepdims=True))
+            lt_next = lt_carry + jnp.sum(
+                jnp.where(contrib, logs, 0.0), axis=1, keepdims=True)
             prefix_next = prefix + jnp.sum(wA, axis=1, keepdims=True)
-            return i + 1, t_next, prefix_next
+            return i + 1, lt_next, prefix_next
 
-        init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
+        init = (jnp.int32(0), jnp.zeros((pix, 1), jnp.float32),
                 jnp.zeros((pix, 1), jnp.float32))
         i_stop, _, _ = jax.lax.while_loop(cond, body, init)
 

@@ -143,8 +143,10 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
         def _():
             issue_chunk0(row + 1, ((row + 1) % 2) * 2)
 
+        log_stop = jnp.log(jnp.float32(T_STOP))
+
         def cond(state):
-            i, t_carry, _ = state
+            i, lt_carry, _ = state
             if not early_exit:
                 # The saturation check costs more than it saves on
                 # short-segment scenes: the per-chunk [pix,1] max +
@@ -156,10 +158,14 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
                 # saturated contributions.
                 return i < n_chunks
             return jnp.logical_and(i < n_chunks,
-                                   jnp.max(t_carry) >= T_STOP)
+                                   jnp.max(lt_carry) >= log_stop)
 
         def body(state):
-            i, t_carry, acc4 = state
+            # The transmittance carry rides in LOG space: folding it
+            # into the prefix exp (exp(cum + lt)) deletes a [pix,1] exp
+            # + two muls per chunk — [pix,1] values occupy 32 lane-
+            # padded vregs, so narrow ops cost like full-width ones.
+            i, lt_carry, acc4 = state
 
             @pl.when(i + 1 < n_chunks)
             def _():
@@ -191,7 +197,7 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
             # inclusive-prefix + divide variant measured 0.5 ms/frame
             # slower at 1080p (A/B, PERF.md)
             cum_ex = _lane_cumsum(logs, exclusive=True)
-            t_in = t_carry * jnp.exp(cum_ex)
+            t_in = jnp.exp(cum_ex + lt_carry)
             t_out = t_in * (1.0 - alpha)
             contrib = t_out >= T_STOP
             w = jnp.where(contrib, alpha * t_in, 0.0)  # [PIX, CHUNK]
@@ -219,14 +225,14 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
                        preferred_element_type=jnp.float32))
             # VPU lane reduce: an MXU ones-column dot here measured a
             # 4 ms/frame REGRESSION (small-N matmuls stall the pipe).
-            t_next = t_carry * jnp.exp(
-                jnp.sum(jnp.where(contrib, logs, 0.0), axis=1,
-                        keepdims=True))
-            return i + 1, t_next, acc4
+            lt_next = lt_carry + jnp.sum(
+                jnp.where(contrib, logs, 0.0), axis=1, keepdims=True)
+            return i + 1, lt_next, acc4
 
-        init = (jnp.int32(0), jnp.ones((pix, 1), jnp.float32),
+        init = (jnp.int32(0), jnp.zeros((pix, 1), jnp.float32),
                 jnp.zeros((pix, 4), jnp.float32))
-        i_end, t_fin, acc4 = jax.lax.while_loop(cond, body, init)
+        i_end, lt_fin, acc4 = jax.lax.while_loop(cond, body, init)
+        t_fin = jnp.exp(lt_fin)
 
         # Saturation exit leaves chunk i_end's DMA in flight (started in
         # body i_end-1). Retire it, or its stale semaphore signal would

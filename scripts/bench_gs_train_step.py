@@ -98,8 +98,13 @@ def main():
     def step(state):
         return gs_trainer.train_step(state, rcam, gt, bg, **kw)
 
+    _, (_, m0) = _timeit(step, state, iters=1)
+    need = int(m0.expand_needed)
+    kw["expand_window"] = max(-(-(need + 32) // 16) * 16, 32)
     t_s, (state2, metrics) = _timeit(step, state)
-    print(f"pairs={int(metrics.pairs)} budget={args.mult * cap}")
+    assert int(metrics.expand_needed) <= kw["expand_window"]
+    print(f"pairs={int(metrics.pairs)} budget={args.mult * cap} "
+          f"window={kw['expand_window']}")
     print(f"fwd={t_f*1e3:.1f}ms fwd+bwd={t_g*1e3:.1f}ms "
           f"step={t_s*1e3:.1f}ms ({1/t_s:.2f} it/s)", flush=True)
 

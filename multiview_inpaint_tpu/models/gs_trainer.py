@@ -125,7 +125,7 @@ def train_step(state: TrainState, camera: RenderCamera,
                cfg: OptimizationConfig, spatial_lr_scale: float,
                sh_degree: int = 0, mask: Optional[jnp.ndarray] = None,
                loss_mode: str = "full", max_per_tile: int = 1024,
-               pair_budget_mult: int = 8,
+               pair_budget_mult: float = 8,
                backend: str = "xla",
                expand_window: int = 0) -> tuple[TrainState, StepMetrics]:
     """One optimization iteration.
@@ -144,7 +144,8 @@ def train_step(state: TrainState, camera: RenderCamera,
         params = GaussianParams(live=p.live, **fields)
         out = render(params, camera, bg_color, sh_degree=sh_degree,
                      means2d_offset=offset, max_per_tile=max_per_tile,
-                     pair_budget=pair_budget_mult * n, backend=backend,
+                     pair_budget=int(pair_budget_mult * n),
+                     backend=backend,
                      expand_window=expand_window)
         pred = out.rgb
         gt = gt_image

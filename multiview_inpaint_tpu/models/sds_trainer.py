@@ -38,7 +38,7 @@ def sds_train_step(state: TrainState, camera, gt_image, mask, bg_color,
                    key: jax.Array, spatial_lr_scale: float = 1.0,
                    sh_degree: int = 0, sds_weight: float = 1e-6,
                    sds_size: int = 512, max_per_tile: int = 1024,
-                   pair_budget_mult: int = 8, backend: str = "xla"):
+                   pair_budget_mult: float = 8, backend: str = "xla"):
     p = state.params
     n = p.capacity
     float_fields = {f: getattr(p, f) for f in _FIELDS}
@@ -48,7 +48,8 @@ def sds_train_step(state: TrainState, camera, gt_image, mask, bg_color,
         params = GaussianParams(live=p.live, **fields)
         out = render(params, camera, bg_color, sh_degree=sh_degree,
                      means2d_offset=offset, max_per_tile=max_per_tile,
-                     pair_budget=pair_budget_mult * n, backend=backend)
+                     pair_budget=int(pair_budget_mult * n),
+                     backend=backend)
         pred = out.rgb
         keep = (1.0 - mask)[..., None]
         pred_c = jnp.transpose(pred * keep, (2, 0, 1))

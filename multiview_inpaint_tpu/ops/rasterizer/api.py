@@ -166,6 +166,13 @@ def render(params: GaussianParams, camera: RenderCamera,
         # the pair array a CHUNK multiple so that stays in bounds.
         c = pallas_composite.CHUNK
         pair_budget = -(-pair_budget // c) * c
+        # XLA-TPU row gathers run 2.26x SLOWER when the gathered length
+        # is a multiple of 1024 (measured: 10.55 vs 4.67 ns/row, exact
+        # at the boundary; 128/256/512-multiples are fine). Training
+        # budgets are multiples of a power-of-two capacity, so they
+        # always hit it — bump one chunk past.
+        if pair_budget % 1024 == 0:
+            pair_budget += c
 
     proj = geometry.project_gaussians(
         params.xyz, params.features(), params.act_opacity()[:, 0],

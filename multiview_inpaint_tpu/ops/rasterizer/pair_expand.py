@@ -254,10 +254,13 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
     # Smallest valid window for this data: block b's window must reach
     # the owner of its last slot, upper-bounded by g_first[b+1] (the
     # owner of the next block's first slot; rows past it compare at
-    # starts > slot and contribute nothing).
-    g_last_ub = jnp.concatenate(
-        [g_first[1:], jnp.full((1,), max(n - 1, 0), jnp.int32)])
-    needed = jnp.max(g_last_ub - g0r) + 1
+    # starts > slot and contribute nothing). Blocks at/past ``total``
+    # are excluded: their keys are overwritten by the j >= total
+    # INT_MAX guard regardless of window (and their saturated g_first
+    # would otherwise inflate ``needed`` to the table size).
+    g_last_ub = jnp.concatenate([g_first[1:], g_first[-1:]])
+    live_blk = block_starts < jnp.asarray(total, jnp.int32)
+    needed = jnp.max(jnp.where(live_blk, g_last_ub - g0r, 0)) + 1
 
     # per-block channel baselines = cumulative values at g0r-1 (all rows
     # below g0r are active and precede every slot of the block); a

@@ -28,6 +28,17 @@ import jax
 import jax.numpy as jnp
 
 
+def safe_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` avoiding the XLA-TPU gather pathology at
+    1024-multiple output lengths (measured 10.55 vs 4.67 ns/row, exact
+    at the boundary — and every power-of-two capacity multiple hits it):
+    gather 128 extra rows and slice."""
+    p = idx.shape[0]
+    if p % 1024 == 0 and p >= 128:
+        return table[jnp.concatenate([idx, idx[:128]])][:p]
+    return table[idx]
+
+
 def _blocked_cumsum_f32(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive cumsum over axis 0 of an f32 [P, C] array: 128-row
     blocks x a triangular-ones MXU matmul plus a tiny block-offset
@@ -50,15 +61,15 @@ def _blocked_cumsum_f32(x: jnp.ndarray) -> jnp.ndarray:
 def permute_rows(table: jnp.ndarray, order: jnp.ndarray) -> jnp.ndarray:
     """``table[order]`` for a permutation ``order``; differentiable with
     a gather-based VJP."""
-    return table[order]
+    return safe_gather(table, order)
 
 
 def _perm_fwd(table, order):
-    return table[order], order
+    return safe_gather(table, order), order
 
 
 def _perm_bwd(order, g):
-    return g[jnp.argsort(order)], None
+    return safe_gather(g, jnp.argsort(order)), None
 
 
 permute_rows.defvjp(_perm_fwd, _perm_bwd)
@@ -76,11 +87,11 @@ def gather_pairs(table: jnp.ndarray, gid: jnp.ndarray,
     seg_lo[M] = P. The caller (binning) knows these exactly — a
     searchsorted over P here would cost more than the reduction.
     """
-    return table[gid]
+    return safe_gather(table, gid)
 
 
 def _gp_fwd(table, gid, seg_lo):
-    return table[gid], (gid, seg_lo, table.shape[0])
+    return safe_gather(table, gid), (gid, seg_lo, table.shape[0])
 
 
 def _gp_bwd(res, g):
@@ -94,7 +105,7 @@ def _gp_bwd(res, g):
     # materialization it costs the same 5.8 ms at 884k pairs: these
     # big row gathers are random-access latency-bound, not layout-
     # bound, matching the equally-priced row-major forward gather.)
-    gg = g[pos_s]                                   # [P, C] grouped rows
+    gg = safe_gather(g, pos_s)                      # [P, C] grouped rows
     # Sentinel-id slots include aligned-layout tail slots no backward
     # kernel ever writes; zero them so garbage can't ride the prefix.
     # (They sort to the end — gid sentinel is the maximum — so even a

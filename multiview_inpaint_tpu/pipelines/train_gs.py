@@ -120,8 +120,8 @@ def train(args) -> None:
             out = render(state.params, RenderCamera.from_camera(view_cam),
                          bg, sh_degree=sh_degree,
                          max_per_tile=args.max_per_tile,
-                         pair_budget=args.pair_budget_mult
-                         * state.params.capacity)
+                         pair_budget=int(args.pair_budget_mult
+                                         * state.params.capacity))
             live.publish(np.asarray(out.rgb))
         if iteration % args.log_interval == 0:
             # Adaptive pair budget: like the CUDA reference's exact
@@ -169,8 +169,8 @@ def _report(scene, state, bg, sh_degree, iteration, logger, args):
             out = render(state.params, RenderCamera.from_camera(cam), bg,
                          sh_degree=sh_degree,
                          max_per_tile=args.max_per_tile,
-                         pair_budget=args.pair_budget_mult
-                         * state.params.capacity)
+                         pair_budget=int(args.pair_budget_mult
+                                         * state.params.capacity))
             pred = jnp.clip(out.rgb, 0, 1)
             gt = jnp.asarray(cam.image)
             l1s.append(float(loss_utils.l1_loss(pred, gt)))
@@ -196,7 +196,10 @@ def main(argv=None):
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--capacity", type=int, default=None)
     parser.add_argument("--max_per_tile", type=int, default=1024)
-    parser.add_argument("--pair_budget_mult", type=int, default=4)
+    parser.add_argument("--pair_budget_mult", type=float, default=4,
+                        help="pair budget as a (fractional) multiple of "
+                             "capacity; every budgeted slot rides the "
+                             "sort/gathers, so tight beats round")
     parser.add_argument("--expand_window", type=int, default=0,
                         help="pair-expansion window (pallas backend): "
                              "0 = worst-case 288 (always exact); a "

@@ -101,9 +101,14 @@ def main():
     _, (_, m0) = _timeit(step, state, iters=1)
     need = int(m0.expand_needed)
     kw["expand_window"] = max(-(-(need + 32) // 16) * 16, 32)
+    # Tight fractional budget: every budgeted slot rides the sort and
+    # both big row gathers, so 1.05x true pairs beats a round multiple.
+    kw["pair_budget_mult"] = round(1.05 * int(m0.pairs) / cap, 3)
     t_s, (state2, metrics) = _timeit(step, state)
     assert int(metrics.expand_needed) <= kw["expand_window"]
-    print(f"pairs={int(metrics.pairs)} budget={args.mult * cap} "
+    assert int(metrics.pairs) <= kw["pair_budget_mult"] * cap
+    print(f"pairs={int(metrics.pairs)} "
+          f"budget={int(kw['pair_budget_mult'] * cap)} "
           f"window={kw['expand_window']}")
     print(f"fwd={t_f*1e3:.1f}ms fwd+bwd={t_g*1e3:.1f}ms "
           f"step={t_s*1e3:.1f}ms ({1/t_s:.2f} it/s)", flush=True)

@@ -138,24 +138,23 @@ def main():
             rcam.world_view, rcam.full_proj, rcam.campos, rcam.tan_fovx,
             rcam.tan_fovy, rcam.width, rcam.height, 0, 1.0, None)
 
+    from multiview_inpaint_tpu.ops.rasterizer import bf16_transport
+
     @jax.jit
     def stage_binning(proj):
-        packed = pallas_composite.pack_attrs(
-            proj.means2d, proj.conic, proj.opacity, proj.color,
-            proj.depth)
         return binning.bin_gaussians(
             proj.means2d, proj.radius, proj.depth, tiles_x, tiles_y,
             16, 16, PB, 1024, gather_ids=False, aligned_chunk=CHUNK,
-            extent=proj.extent, expand_kernel=True, aux=packed,
+            extent=proj.extent, expand_kernel=True,
             expand_window=kwargs.get("expand_window", 0))
 
     @jax.jit
-    def stage_gather(bins):
-        pk = jnp.concatenate(
-            [bins.aux_sorted,
-             jnp.zeros((1, bins.aux_sorted.shape[1]))])
-        return segment_reduce.gather_pairs(pk, bins.gid_sorted,
-                                           bins.rank_lo).T
+    def stage_gather(proj, bins):
+        packed = pallas_composite.pack_attrs(
+            proj.means2d, proj.conic, proj.opacity, proj.color,
+            proj.depth)
+        return bf16_transport.pair_attrs_bf16(
+            packed, bins.order, bins.gid_sorted, bins.rank_lo)
 
     @jax.jit
     def stage_composite(attrs_t, seg_start, counts):
@@ -164,7 +163,7 @@ def main():
 
     t_proj, proj = _timeit(stage_project, params)
     t_bin, bins = _timeit(stage_binning, proj)
-    t_gather, attrs_t = _timeit(stage_gather, bins)
+    t_gather, attrs_t = _timeit(stage_gather, proj, bins)
     t_comp, _ = _timeit(stage_composite, attrs_t, bins.seg_start,
                         bins.counts)
 

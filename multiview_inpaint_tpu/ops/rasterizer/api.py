@@ -195,35 +195,32 @@ def render(params: GaussianParams, camera: RenderCamera,
                        else 0),
         extent=jax.lax.stop_gradient(proj.extent),
         expand_kernel=(backend == "pallas"), interpret=interpret,
-        aux=packed, expand_window=expand_window)
+        expand_window=expand_window)
 
     if backend == "pallas":
         if (tile_h * tile_w) % 128 != 0:
             raise ValueError(
                 "pallas backend needs tile_h*tile_w % 128 == 0 "
                 "(16x16 and 8x16 are the tuned shapes)")
-        if bins.aux_sorted is not None:
-            # gid_sorted is in depth-rank space: the attribute table was
-            # reordered inside binning, riding the SAME single N-row
-            # gather as the rect table (these permutation gathers are
-            # latency-bound, so one pass costs what two did). Custom
-            # VJP: permutation scatter-add == inverse-permutation
-            # gather (segment_reduce.permute_rows).
-            packed = bins.aux_sorted
-        # Sentinel row (id == N) for alignment padding: zero opacity.
-        packed = jnp.concatenate(
-            [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)])
-        # Custom VJP: pair-grad reduction to gaussians via the
-        # double-sort segment reduction instead of a P-row scatter-add.
-        # (rank_lo is absent on the generic non-packed-key fallback,
-        # where gid_sorted is in original id space — keep autodiff.)
-        if bins.rank_lo is not None:
-            gathered = segment_reduce.gather_pairs(
-                packed, bins.gid_sorted, bins.rank_lo)
+        if bins.rank_lo is not None and bins.order is not None:
+            # bf16-split transport for BOTH latency-bound gathers (the
+            # depth-rank permutation and the pair gather): f32 rows pay
+            # a lane-padded 512 B transaction regardless of width, bf16
+            # rows half that (measured 2.4x). pair_attrs_bf16 is one
+            # custom-VJP unit with f32 semantics at both ends; its
+            # backward reduces pair cotangents via the double-sort
+            # segment reduction in f32.
+            from .bf16_transport import pair_attrs_bf16
+            attrs_t = pair_attrs_bf16(packed, bins.order,
+                                      bins.gid_sorted, bins.rank_lo)
         else:
-            gathered = packed[bins.gid_sorted]
+            # Generic fallback (packed keys unavailable): gid_sorted is
+            # in original id space; plain gather + autodiff.
+            packed_s = jnp.concatenate(
+                [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)])
+            attrs_t = packed_s[bins.gid_sorted].T
         tiles8 = _pallas_composite_diff(
-            tiles_x, tiles_y, tile_h, tile_w, interpret, gathered.T,
+            tiles_x, tiles_y, tile_h, tile_w, interpret, attrs_t,
             jnp.asarray(bg_color, jnp.float32),
             bins.seg_start.astype(jnp.float32),
             bins.counts.astype(jnp.float32))

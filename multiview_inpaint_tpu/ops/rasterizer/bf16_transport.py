@@ -1,0 +1,155 @@
+"""bf16-split transport for the rasterizer's big row gathers.
+
+Measured on v5e (loop-carried chains under the profiler): an XLA row
+gather costs the same for 16..128 f32 lanes — the unit is the
+lane-padded 512 B row transaction — while a bf16 table's rows are 256 B
+and gather 2.4x faster (1.95 vs 4.68 ns/row). The f32 attribute tables
+therefore waste 7/8 of every transaction.
+
+This module moves the pallas path's two P-sized gathers (the pair
+attribute gather and the backward cotangent regroup) and the N-sized
+permutation gather onto bf16 tables that carry each f32 value as an
+EXACT multi-term split:
+
+    x = t0 + t1 + ... + t_{k-1},   t_i = bf16
+
+built with integer bit-masks (top-16-bit truncation + exact Sterbenz
+remainders). Masks, not ``x - bf16(x)`` arithmetic: XLA-TPU compiles
+with excess precision allowed and folds bf16 round-trips to identity
+(the pair-expansion kernel hit exactly this on hardware — see
+``pair_expand._bf16_mask_split``). Term counts per column are chosen so
+reconstruction is f32-exact where decisions depend on it (4 terms for
+pixel coordinates, 3 for conic/opacity) and well inside test tolerance
+elsewhere (2 for colors/depth/gate: 2^-17 relative).
+
+``pair_attrs_bf16`` is the differentiable unit spanning
+split -> permute -> pair-gather -> reconstruct with f32 input/output
+semantics: its VJP reduces pair cotangents to per-gaussian gradients in
+f32 (3-term bf16 transport for the regroup gather only; all summation
+stays f32), so gradient fidelity matches the plain-f32 path to ~2^-24.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .segment_reduce import _blocked_cumsum_f32, safe_gather
+
+# Packed-column term counts (pallas_composite.pack_attrs layout:
+# mx, my, ca, cb, cc, op, r, g, b, depth, gate; cols 11-15 are zero and
+# are not transported at all).
+PACK_TERMS: Tuple[int, ...] = (4, 4, 3, 3, 3, 3, 2, 2, 2, 2, 2)
+N_PACK_COLS = 16  # kernel-facing row count (NROWS)
+COT_TERMS = 3     # uniform per-row terms for the cotangent transport
+
+
+def _mask_split(x: jnp.ndarray, terms: int) -> list[jnp.ndarray]:
+    """Exact multi-term bf16 split of f32 ``x`` via top-16-bit
+    truncation; every term but the last is exact, the last rounds
+    (error <= 2^-(8*terms-?) relative — 4 terms reconstruct f32
+    exactly)."""
+    out = []
+    r = x
+    for _ in range(terms - 1):
+        bits = jax.lax.bitcast_convert_type(r, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(
+            bits & jnp.uint32(0xFFFF0000), jnp.float32)
+        out.append(hi.astype(jnp.bfloat16))  # exact: hi IS a bf16 value
+        r = r - hi                           # exact (Sterbenz)
+    out.append(r.astype(jnp.bfloat16))
+    return out
+
+
+def split_columns(cols: Sequence[jnp.ndarray],
+                  terms: Sequence[int]) -> jnp.ndarray:
+    """[N] f32 columns -> [N, sum(terms)] bf16 split table."""
+    lanes = []
+    for c, t in zip(cols, terms):
+        lanes.extend(_mask_split(c, t))
+    return jnp.stack(lanes, axis=1)
+
+
+def reconstruct_rows(bf_t: jnp.ndarray, terms: Sequence[int],
+                     out_rows: int) -> jnp.ndarray:
+    """[L, P] bf16 (split lanes in sublanes) -> [out_rows, P] f32."""
+    rows = []
+    k = 0
+    for t in terms:
+        r = bf_t[k].astype(jnp.float32)
+        for j in range(1, t):
+            r = r + bf_t[k + j].astype(jnp.float32)
+        rows.append(r)
+        k += t
+    p = bf_t.shape[1]
+    pad = out_rows - len(rows)
+    out = jnp.stack(rows, axis=0)
+    if pad:
+        out = jnp.concatenate(
+            [out, jnp.zeros((pad, p), jnp.float32)], axis=0)
+    return out
+
+
+@jax.custom_vjp
+def pair_attrs_bf16(packed: jnp.ndarray, order: jnp.ndarray,
+                    gid: jnp.ndarray, rank_lo: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Depth-rank-permute + pair-gather of the packed attribute table
+    with bf16 transport; returns the kernel-ready [NROWS, P] f32 array.
+
+    packed [N, 16] f32 (pack_attrs layout); order [N] depth argsort;
+    gid [P] rank-space ids with sentinel N for padding; rank_lo [N+2]
+    segment starts in id-sorted pair order (see
+    ``segment_reduce.gather_pairs``).
+    """
+    out, _ = _pab_fwd(packed, order, gid, rank_lo)
+    return out
+
+
+def _split_table(packed: jnp.ndarray) -> jnp.ndarray:
+    cols = [packed[:, i] for i in range(len(PACK_TERMS))]
+    return split_columns(cols, PACK_TERMS)
+
+
+def _pab_fwd(packed, order, gid, rank_lo):
+    split_bf = _split_table(packed)                 # [N, 30] bf16
+    sorted_bf = safe_gather(split_bf, order)        # rank order
+    lanes = sorted_bf.shape[1]
+    sorted_bf = jnp.concatenate(
+        [sorted_bf, jnp.zeros((1, lanes), jnp.bfloat16)])  # sentinel
+    pairs_bf = safe_gather(sorted_bf, gid)          # [P, 30] bf16
+    attrs_t = reconstruct_rows(pairs_bf.T, PACK_TERMS, N_PACK_COLS)
+    return attrs_t, (order, gid, rank_lo, packed.shape[0])
+
+
+def _pab_bwd(res, d):
+    """d [NROWS, P] f32 -> d_packed [N, 16] f32 (f32-fidelity segment
+    reduction; bf16 transport only for the latency-bound regroup
+    gather)."""
+    order, gid, rank_lo, n = res
+    nrows, p = d.shape
+    # TERM-MAJOR vectorized 3-term split: whole-array mask ops on
+    # [NROWS, P] (a per-row python loop + stack lowered to 48 separate
+    # [1, P] column-major fusions — 25 ms/step on hardware).
+    t0, t1, t2 = _mask_split(d, COT_TERMS)          # each [16, P] bf16
+    d_bf = jnp.concatenate([t0, t1, t2], axis=0)    # [48, P]
+    pos = jnp.arange(p, dtype=jnp.int32)
+    gid_s, pos_s = jax.lax.sort((gid, pos), num_keys=1)
+    gg_bf = safe_gather(d_bf.T, pos_s)              # [P, 48] grouped
+    gg = (gg_bf[:, 0:nrows].astype(jnp.float32)
+          + gg_bf[:, nrows:2 * nrows].astype(jnp.float32)
+          + gg_bf[:, 2 * nrows:3 * nrows].astype(jnp.float32))
+    # Sentinel-id slots (padding) must not ride the prefix.
+    gg = jnp.where((gid_s < n)[:, None], gg, 0.0)
+    cum = jnp.concatenate(
+        [jnp.zeros((1, nrows), jnp.float32), _blocked_cumsum_f32(gg)])
+    ends = cum[rank_lo]                             # [N+2, 16]
+    d_rank = ends[1:] - ends[:-1]                   # [N+1, 16]
+    d_rank = d_rank[:n]                             # drop sentinel row
+    d_packed = safe_gather(d_rank, jnp.argsort(order))
+    return d_packed, None, None, None
+
+
+pair_attrs_bf16.defvjp(_pab_fwd, _pab_bwd)

@@ -204,10 +204,12 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
             prefix_i = prefix + _lane_cumsum(wA)               # inclusive
             suffix = total_contrib - prefix_i                  # [PIX,CHUNK]
 
-            one_m = jnp.where(alpha < 1.0, 1.0 - alpha, 1.0)
+            # 1/(1-alpha) as exp(-log1p(-alpha)): logs is already in
+            # hand and the hardware exp is far cheaper than a divide.
+            rcp_one_m = jnp.exp(-logs)
             d_alpha = jnp.where(
                 contrib & live,
-                t_in * A - (suffix + t_fin * b_term) / one_m, 0.0)
+                t_in * A - (suffix + t_fin * b_term) * rcp_one_m, 0.0)
 
             # alpha -> (opacity, power); clip gate.
             d_alpha_eff = jnp.where(unclipped, d_alpha, 0.0)

@@ -61,12 +61,18 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray,
          window_size: int = 11) -> jnp.ndarray:
     """Mean SSIM of two [C, H, W] images in [0, 1]."""
     window = _gaussian_window(window_size, 1.5)
-    mu1 = _sep_blur(img1, window)
-    mu2 = _sep_blur(img2, window)
+    # ONE batched depthwise blur for all five moment maps: five separate
+    # conv pairs each paid their own relayout copies around the conv
+    # (profiled ~2.5 ms/step on the GS train step at 512x384).
+    c = img1.shape[0]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
+    blurred = _sep_blur(stacked, window)
+    mu1, mu2 = blurred[0:c], blurred[c:2 * c]
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _sep_blur(img1 * img1, window) - mu1_sq
-    sigma2_sq = _sep_blur(img2 * img2, window) - mu2_sq
-    sigma12 = _sep_blur(img1 * img2, window) - mu12
+    sigma1_sq = blurred[2 * c:3 * c] - mu1_sq
+    sigma2_sq = blurred[3 * c:4 * c] - mu2_sq
+    sigma12 = blurred[4 * c:5 * c] - mu12
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))

@@ -38,18 +38,23 @@ def _timeit(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters, out
 
 
-def _timeit_min(fn, *args, iters=10):
-    """Min over single calls — for the null-dispatch estimate, where
-    tunnel latency spikes must not inflate the baseline subtracted from
-    every stage (a mean-of-10 once measured 6.9 ms vs the usual 3.4,
-    zeroing the net stage times)."""
+def _timeit_min(fn, *args, iters=10, reps=3):
+    """Min over ``reps`` PIPELINED means — the null-dispatch baseline
+    must be measured exactly like the stages (async dispatch loop, one
+    final sync): a per-call-sync variant measures the full ~31 ms
+    tunnel round trip instead of the ~3.4 ms pipelined inter-call
+    overhead, and a single mean can catch a latency spike (6.9 ms seen
+    once). Min-of-3 pipelined means is spike-robust and
+    semantics-correct."""
     import jax
     jax.block_until_ready(fn(*args))
     best = float("inf")
-    for _ in range(iters):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
 

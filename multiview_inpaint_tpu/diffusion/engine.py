@@ -54,8 +54,9 @@ class EngineConfig:
     control_scales: float = 1.0
     scaling: str = "v_edm_cnoise"
     compute_dtype: str = "float32"  # "bfloat16" for mixed precision
-    remat: bool = False             # use_checkpoint parity (rematerialize
-                                    # UNet/ControlNet activations)
+    remat: bool | str = False       # use_checkpoint parity: True/"all"
+                                    # remats every block, "attn" only the
+                                    # transformer blocks (see UNetConfig)
     # scalar batch keys fourier-embedded into the vector cond (SV3D-style
     # pose conditioning swaps in polars_rad/azimuths_rad/rad; the UNet's
     # adm_in_channels must equal 256*len(vector_keys)).

@@ -48,11 +48,14 @@ class UNetConfig:
     adm_in_channels: int = 768
     video_kernel_size: Tuple[int, ...] = (3, 1, 1)
     merge_strategy: str = "learned_with_images"
-    # Rematerialize each res/attn block in the backward pass
-    # (use_checkpoint parity). Block-level, not whole-net: a single
-    # checkpoint over the full forward stores nothing extra but also
-    # saves no peak memory; per-block keeps only block boundaries live.
-    remat: bool = False
+    # Rematerialize blocks in the backward pass (use_checkpoint
+    # parity). Block-level, not whole-net: a single checkpoint over the
+    # full forward stores nothing extra but also saves no peak memory;
+    # per-block keeps only block boundaries live. True/"all" remats
+    # every res+attn block; "attn" remats only the transformer blocks
+    # (whose GEGLU/attention temps dominated the full-size OOM dump)
+    # and keeps the cheap-to-store conv activations.
+    remat: bool | str = False
 
 
 class VideoUNet(nn.Module):
@@ -82,10 +85,12 @@ class VideoUNet(nn.Module):
 
         # static_argnums index the bound __call__ with self at 0; slot 3
         # is num_video_frames / timesteps (a static int) in both blocks.
+        full = cfg.remat in (True, "all")
         res_cls = (nn.remat(VideoResBlock, static_argnums=(3,))
-                   if cfg.remat else VideoResBlock)
+                   if full else VideoResBlock)
         attn_cls = (nn.remat(SpatialVideoTransformer, static_argnums=(3,))
-                    if cfg.remat else SpatialVideoTransformer)
+                    if (full or cfg.remat == "attn")
+                    else SpatialVideoTransformer)
 
         def res(name, out_ch):
             return res_cls(out_ch, cfg.video_kernel_size,

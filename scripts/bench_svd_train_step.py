@@ -37,7 +37,10 @@ def log(*a):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=5)
-    p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat", nargs="?", const="all", default=False,
+                   choices=["all", "attn"],
+                   help="rematerialization: 'all' blocks or 'attn' "
+                        "(transformer blocks only)")
     p.add_argument("--frames", type=int, default=14)
     p.add_argument("--size", type=int, nargs=2, default=[512, 384])
     p.add_argument("--no_ema", action="store_true")

@@ -93,8 +93,6 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
         tx = txg * group + g_idx
         ox = (tx * tile_w).astype(jnp.float32)
         oy = (t * tile_h).astype(jnp.float32)
-        px = pxl + ox
-        py = pyl + oy
 
         row = t * tiles_x + tx
         start = win_base(row)
@@ -163,8 +161,9 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
             sl = i * CHUNK + lane
             valid = (sl >= off) & (sl < seg_end)
-            dx = px - a[0:1, :]
-            dy = py - a[1:2, :]
+            # Tile-local dx (bit-matches the forward kernel's form).
+            dx = pxl - (a[0:1, :] - ox)
+            dy = pyl - (a[1:2, :] - oy)
             # fma-chain power (bit-matches the forward kernel's form).
             qxx = -0.5 * a[2:3, :]
             qxy = -a[3:4, :]

@@ -109,8 +109,12 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
 
     def one_tile(g, _):
         tx = txg * group + g
-        px = pxl + (tx * tile_w).astype(jnp.float32)
-        py = pyl + (t * tile_h).astype(jnp.float32)
+        # Tile-LOCAL coordinates: dx = pxl - (mx - ox) shifts the
+        # [1,CHUNK] attr row by the origin instead of building [pix,1]
+        # global pixel columns (narrow values occupy 32 lane-padded
+        # vregs, so those two adds cost ~64 vreg-ops per tile).
+        ox = (tx * tile_w).astype(jnp.float32)
+        oy = (t * tile_h).astype(jnp.float32)
 
         row = t * tiles_x + tx
         start = win_base(row)
@@ -178,8 +182,8 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
             sl = i * CHUNK + lane               # in-window slot [1,CHUNK]
             valid = (sl >= off) & (sl < seg_end)
 
-            dx = px - a[0:1, :]          # [PIX, CHUNK]
-            dy = py - a[1:2, :]
+            dx = pxl - (a[0:1, :] - ox)  # [PIX, CHUNK]
+            dy = pyl - (a[1:2, :] - oy)
             # fma-chain form of -0.5(ca dx^2 + cc dy^2) - cb dx dy:
             # 7 [PIX,CHUNK] ops vs 10 (the negated conic rows are
             # [1,CHUNK] — near-free).

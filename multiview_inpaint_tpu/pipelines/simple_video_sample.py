@@ -45,6 +45,13 @@ def main(argv=None):
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--tiny_model", action="store_true")
+    p.add_argument("--safety_heads", default=None,
+                   help="npz with 'nsfw'/'watermark' probe rows "
+                        "([D+1] weights+bias over CLIP image "
+                        "embeddings); frames above threshold are "
+                        "blurred (reference DeepFloydDataFiltering in "
+                        "simple_video_sample.py)")
+    p.add_argument("--safety_threshold", type=float, default=0.5)
     args = p.parse_args(argv)
 
     if args.tiny_model:
@@ -128,7 +135,24 @@ def main(argv=None):
     x = jax.random.normal(k2, (t, args.size[0] // 8, args.size[1] // 8, 4))
     z = samplers.euler_edm_sample(denoise, x, c, uc, sigmas, guider=guider,
                                   key=k2)
-    frames = np.asarray(eng.decode_first_stage(state, z, timesteps=t))
+    frames = np.array(eng.decode_first_stage(state, z, timesteps=t))
+    if args.safety_heads:
+        from ..diffusion.safety import SafetyFilter, load_heads
+        filt = SafetyFilter(
+            img_embed=lambda im: eng.clip_embed(
+                state, jnp.asarray(im, jnp.float32)[None])[0],
+            heads=load_heads(args.safety_heads),
+            nsfw_threshold=args.safety_threshold,
+            watermark_threshold=args.safety_threshold)
+        flagged = 0
+        for i in range(t):
+            s = filt.scores(frames[i])
+            if (s["nsfw"] > filt.nsfw_threshold
+                    or s["watermark"] > filt.watermark_threshold):
+                frames[i] = filt(frames[i])
+                flagged += 1
+        if flagged:
+            print(f"safety filter blurred {flagged}/{t} frames")
     os.makedirs(args.out, exist_ok=True)
     for i in range(t):
         scene_io.save_image(os.path.join(args.out, f"{i:02d}.png"),

@@ -326,17 +326,28 @@ def test_svd_train_warp_cli(ws2, tmp_path):
     assert any(c.startswith("epoch=") for c in ckpts)
 
 
-def test_simple_video_sample_cli(ws2, tmp_path):
+def test_simple_video_sample_cli(ws2, tmp_path, capsys):
+    import numpy as np
     img = os.path.join(ws2["root"], "inpaint", "seq", "toy_case", "x1",
                        f"ours_{IT}", "renders", "00.png")
     out = str(tmp_path / "vid")
+    # Always-trigger synthetic safety probes (huge positive bias):
+    # exercises the whole CLIP-embed -> probe -> blur path end to end.
+    heads = str(tmp_path / "heads.npz")
+    d = 16  # tiny model's CLIP output_dim
+    np.savez(heads,
+             nsfw=np.concatenate([np.zeros(d), [100.0]]),
+             watermark=np.concatenate([np.zeros(d), [-100.0]]))
     simple_video_sample.main([
         "--image", img, "--out", out, "--tiny_model",
         "--num_frames", str(FRAMES), "--num_steps", "2",
         "--size", str(SIZE[0]), str(SIZE[1]),
+        "--safety_heads", heads,
     ])
     files = os.listdir(out)
     assert files, "no output frames/video written"
+    assert f"safety filter blurred {FRAMES}/{FRAMES} frames" in \
+        capsys.readouterr().out
 
 
 def test_ctrl_inpaint_cli(ws2, tmp_path):

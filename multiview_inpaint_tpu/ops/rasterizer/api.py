@@ -35,33 +35,35 @@ from . import (binning, composite, geometry, pallas_backward,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _pallas_composite_diff(tiles_x, tiles_y, tile_h, tile_w, interpret,
-                           attrs_t, bg, seg_start_f, counts_f):
-    """Differentiable fused compositing: forward = pallas kernel,
-    backward = pallas backward kernel producing pair-space attr grads
-    (segment ints ride as f32 across the custom_vjp boundary)."""
+                           attrs_t, seg_start_f, counts_f):
+    """Differentiable fused compositing: forward = pallas kernel
+    emitting RAW tiles (bg-free accumulators + final T; the caller
+    composites the background in XLA, whose autodiff supplies the
+    bg/depth-sentinel terms of the row-4 cotangent), backward = pallas
+    backward kernel producing pair-space attr grads (segment ints ride
+    as f32 across the custom_vjp boundary)."""
+    zero_bg = jnp.zeros((3,), jnp.float32)
     return pallas_composite.composite_pallas(
         attrs_t, seg_start_f.astype(jnp.int32), counts_f.astype(jnp.int32),
-        bg, tiles_x, tiles_y, tile_h, tile_w, interpret=interpret)
+        zero_bg, tiles_x, tiles_y, tile_h, tile_w, interpret=interpret)
 
 
-def _pcd_fwd(tiles_x, tiles_y, tile_h, tile_w, interpret, attrs_t, bg,
+def _pcd_fwd(tiles_x, tiles_y, tile_h, tile_w, interpret, attrs_t,
              seg_start_f, counts_f):
     tiles8 = _pallas_composite_diff(tiles_x, tiles_y, tile_h, tile_w,
-                                    interpret, attrs_t, bg, seg_start_f,
+                                    interpret, attrs_t, seg_start_f,
                                     counts_f)
-    return tiles8, (attrs_t, bg, seg_start_f, counts_f, tiles8)
+    return tiles8, (attrs_t, seg_start_f, counts_f, tiles8)
 
 
 def _pcd_bwd(tiles_x, tiles_y, tile_h, tile_w, interpret, res, g):
-    attrs_t, bg, seg_start_f, counts_f, tiles8 = res
+    attrs_t, seg_start_f, counts_f, tiles8 = res
+    zero_bg = jnp.zeros((3,), jnp.float32)
     d_attrs = pallas_backward.composite_pallas_bwd(
         attrs_t, seg_start_f.astype(jnp.int32),
-        counts_f.astype(jnp.int32), bg, tiles8, g, tiles_x, tiles_y,
+        counts_f.astype(jnp.int32), zero_bg, tiles8, g, tiles_x, tiles_y,
         tile_h, tile_w, interpret=interpret)
-    # dL/dbg = sum_pixels T_fin * g_rgb
-    t_fin = tiles8[:, 4, :]
-    d_bg = jnp.einsum("tp,tcp->c", t_fin, g[:, 0:3, :])
-    return (d_attrs, d_bg, jnp.zeros_like(seg_start_f),
+    return (d_attrs, jnp.zeros_like(seg_start_f),
             jnp.zeros_like(counts_f))
 
 
@@ -221,12 +223,17 @@ def render(params: GaussianParams, camera: RenderCamera,
             attrs_t = packed_s[bins.gid_sorted].T
         tiles8 = _pallas_composite_diff(
             tiles_x, tiles_y, tile_h, tile_w, interpret, attrs_t,
-            jnp.asarray(bg_color, jnp.float32),
             bins.seg_start.astype(jnp.float32),
             bins.counts.astype(jnp.float32))
-        tile_rgb = jnp.swapaxes(tiles8[:, 0:3, :], 1, 2)   # [T, PIX, 3]
-        tile_depth = tiles8[:, 3, :]
-        tile_alpha = 1.0 - tiles8[:, 4, :]
+        # Background composite over the dense raw tiles (bg-free
+        # accumulators + final T) — in XLA, where it is a fused
+        # full-width pass and autodiff covers d_bg.
+        bgv = jnp.asarray(bg_color, jnp.float32)
+        t_fin = tiles8[:, 4, :]                            # [T, PIX]
+        tile_rgb = (jnp.swapaxes(tiles8[:, 0:3, :], 1, 2)
+                    + t_fin[:, :, None] * bgv[None, None, :])
+        tile_depth = tiles8[:, 3, :] + t_fin * composite.DEPTH_EMPTY
+        tile_alpha = 1.0 - t_fin
         out = composite.TileImage(rgb=tile_rgb, depth=tile_depth,
                                   alpha=tile_alpha)
     else:

@@ -71,7 +71,7 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
         [jnp.ones((1, pix), jnp.float32), pxl.T, pyl.T,
          (pxl * pxl).T, (pyl * pyl).T, (pxl * pyl).T], axis=0)
     bb = basis.astype(jnp.bfloat16)
-    bg = bg_ref[0:3, 0]
+    del bg_ref  # background now composited (and differentiated) in XLA
 
     def win_base(r):
         # Unaligned segments: DMA the 128-aligned enclosing window (a
@@ -106,21 +106,21 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
         # just wrote.
         n_chunks = jnp.where(count > 0, pl.cdiv(seg_end, CHUNK), 0)
 
-        # Upstream grads + forward outputs for this tile: [8, PIX].
-        g = g_ref[0, g_idx]    # rows: 0-2 g_rgb, 3 g_depth, 4 g_alpha
-        fwd = out8_ref[0, g_idx]  # rows: 0-2 rgb, 3 depth, 4 T_fin
+        # Upstream grads + RAW forward outputs for this tile: [8, PIX].
+        # The forward emits bg-free accumulators and the caller
+        # composites the background in XLA, so the incoming row-4
+        # cotangent already carries the g_rgb.bg + DEPTH_EMPTY*g_d
+        # terms via autodiff — B collapses to g_t and TotalContrib to a
+        # plain dot with the raw rows.
+        g = g_ref[0, g_idx]    # rows: 0-2 g_rgb, 3 g_depth, 4 dL/dT_fin
+        fwd = out8_ref[0, g_idx]  # rows: 0-3 raw rgb+depth, 4 T_fin
         g_rgb = g[0:3, :].T            # [PIX, 3]
         g_d = g[3:4, :].T              # [PIX, 1]
-        g_t = g[4:5, :].T              # [PIX, 1] dL/dT_fin (row 4 IS T_fin)
+        b_term = g[4:5, :].T           # [PIX, 1]
         t_fin = fwd[4:5, :].T          # [PIX, 1]
-        # B and TotalContrib from outputs (see module docstring).
-        b_term = (jnp.dot(g_rgb, bg[:, None],
-                          preferred_element_type=jnp.float32)
-                  + DEPTH_EMPTY * g_d + g_t)                     # [PIX,1]
-        total_contrib = (jnp.sum(g_rgb * (fwd[0:3, :].T
-                                          - t_fin * bg[None, :]), axis=1,
+        total_contrib = (jnp.sum(g_rgb * fwd[0:3, :].T, axis=1,
                                  keepdims=True)
-                         + g_d * (fwd[3:4, :].T - DEPTH_EMPTY * t_fin))
+                         + g_d * fwd[3:4, :].T)
 
         # Tiles alternate scratch slot pairs on global row parity; a
         # tile's chunk 0 is prefetched by its predecessor (incl. across

@@ -246,12 +246,14 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
         def _():
             get_dma(base + i_end % 2, i_end).wait()
 
-        # bg rows 0-2 = background rgb, row 3 = DEPTH_EMPTY: one fused
-        # [pix, 4] background composite over the joint rgb+depth
-        # accumulator.
-        rgbd = acc4 + t_fin * bg_ref[0:4, 0][None, :]
+        # RAW outputs (no background composite): rows 0-3 are the bare
+        # rgb+depth accumulators, row 4 the final transmittance. The
+        # caller composites `raw + T*[bg, DEPTH_EMPTY]` in XLA over the
+        # dense [T,8,pix] output — doing it here cost ~96 lane-padded
+        # vreg-ops per tile on [pix,4]/[pix,1] values, and the backward
+        # kernel's TotalContrib/B terms get simpler with raw rows.
         out = jnp.concatenate(
-            [rgbd, t_fin, jnp.zeros((pix, 3), jnp.float32)], axis=1)
+            [acc4, t_fin, jnp.zeros((pix, 3), jnp.float32)], axis=1)
         out_ref[0, g] = out.T  # [8, pix]
         return 0
 
@@ -265,7 +267,9 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                      tiles_x: int, tiles_y: int, tile_h: int = TILE_H,
                      tile_w: int = TILE_W, interpret: bool = False,
                      early_exit: bool = False):
-    """attrs_t [NROWS, P] pair-sorted packed attrs; returns [T, 8, pix].
+    """attrs_t [NROWS, P] pair-sorted packed attrs; returns RAW
+    [T, 8, pix] tiles (rows 0-3 = bg-free rgb+depth accumulators, row 4
+    = final transmittance): callers composite the background in XLA.
 
     ``early_exit`` enables the per-tile saturation break in the chunk
     loop. The OUTPUT is identical either way (the in-body contrib gate

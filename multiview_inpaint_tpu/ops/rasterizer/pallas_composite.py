@@ -261,12 +261,13 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
 
 
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_h",
-                                   "tile_w", "interpret", "early_exit"))
+                                   "tile_w", "interpret", "early_exit",
+                                   "group"))
 def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                      counts: jnp.ndarray, bg_color: jnp.ndarray,
                      tiles_x: int, tiles_y: int, tile_h: int = TILE_H,
                      tile_w: int = TILE_W, interpret: bool = False,
-                     early_exit: bool = False):
+                     early_exit: bool = False, group: int = 0):
     """attrs_t [NROWS, P] pair-sorted packed attrs; returns RAW
     [T, 8, pix] tiles (rows 0-3 = bg-free rgb+depth accumulators, row 4
     = final transmittance): callers composite the background in XLA.
@@ -283,7 +284,10 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
     # Batch GROUP tiles per grid step: per-step launch overhead (~2 us)
     # dominates at 1 tile/step (8k steps at 1080p); the fori_loop
     # amortizes it 8x. GROUP must divide tiles_x.
-    group = next(g for g in (8, 6, 5, 4, 3, 2, 1) if tiles_x % g == 0)
+    if group <= 0:
+        group = next(g for g in (8, 6, 5, 4, 3, 2, 1)
+                     if tiles_x % g == 0)
+    assert tiles_x % group == 0, "group must divide tiles_x"
     bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
     bg = bg.at[3, 0].set(DEPTH_EMPTY)
     grid_spec = pltpu.PrefetchScalarGridSpec(

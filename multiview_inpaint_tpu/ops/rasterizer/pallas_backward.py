@@ -106,22 +106,6 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
         # just wrote.
         n_chunks = jnp.where(count > 0, pl.cdiv(seg_end, CHUNK), 0)
 
-        # Upstream grads + RAW forward outputs for this tile: [8, PIX].
-        # The forward emits bg-free accumulators and the caller
-        # composites the background in XLA, so the incoming row-4
-        # cotangent already carries the g_rgb.bg + DEPTH_EMPTY*g_d
-        # terms via autodiff — B collapses to g_t and TotalContrib to a
-        # plain dot with the raw rows.
-        g = g_ref[0, g_idx]    # rows: 0-2 g_rgb, 3 g_depth, 4 dL/dT_fin
-        fwd = out8_ref[0, g_idx]  # rows: 0-3 raw rgb+depth, 4 T_fin
-        g_rgb = g[0:3, :].T            # [PIX, 3]
-        g_d = g[3:4, :].T              # [PIX, 1]
-        b_term = g[4:5, :].T           # [PIX, 1]
-        t_fin = fwd[4:5, :].T          # [PIX, 1]
-        total_contrib = (jnp.sum(g_rgb * fwd[0:3, :].T, axis=1,
-                                 keepdims=True)
-                         + g_d * fwd[3:4, :].T)
-
         # Tiles alternate scratch slot pairs on global row parity; a
         # tile's chunk 0 is prefetched by its predecessor (incl. across
         # grid steps) so the first-chunk DMA latency overlaps the
@@ -137,208 +121,233 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
                 attrs_ref.at[:, pl.ds(start + chunk_idx * CHUNK, CHUNK)],
                 scratch.at[slot], sems.at[slot])
 
-        log_stop = jnp.log(jnp.float32(T_STOP))
+        def _bwd_tile():
+            # Upstream grads + RAW forward outputs for this tile:
+            # [8, PIX]. The forward emits bg-free accumulators and the
+            # caller composites the background in XLA, so the incoming
+            # row-4 cotangent already carries the g_rgb.bg +
+            # DEPTH_EMPTY*g_d terms via autodiff — B collapses to g_t
+            # and TotalContrib to a plain dot with the raw rows.
+            g = g_ref[0, g_idx]   # rows: 0-2 g_rgb, 3 g_depth, 4 dL/dT
+            fwd = out8_ref[0, g_idx]  # rows: 0-3 raw rgb+depth, 4 T_fin
+            g_rgb = g[0:3, :].T            # [PIX, 3]
+            g_d = g[3:4, :].T              # [PIX, 1]
+            b_term = g[4:5, :].T           # [PIX, 1]
+            t_fin = fwd[4:5, :].T          # [PIX, 1]
+            total_contrib = (jnp.sum(g_rgb * fwd[0:3, :].T, axis=1,
+                                     keepdims=True)
+                             + g_d * fwd[3:4, :].T)
 
-        def cond(state):
-            i, lt_carry, _ = state
-            if not early_exit:
-                return i < n_chunks  # see forward-kernel note
-            return jnp.logical_and(i < n_chunks,
-                                   jnp.max(lt_carry) >= log_stop)
+            log_stop = jnp.log(jnp.float32(T_STOP))
 
-        def body(state):
-            # Log-space transmittance carry, bit-matching the forward
-            # kernel's recompute (see its note).
-            i, lt_carry, prefix = state
+            def cond(state):
+                i, lt_carry, _ = state
+                if not early_exit:
+                    return i < n_chunks  # see forward-kernel note
+                return jnp.logical_and(i < n_chunks,
+                                       jnp.max(lt_carry) >= log_stop)
 
-            @pl.when(i + 1 < n_chunks)
-            def _():
-                get_dma(base + (i + 1) % 2, i + 1).start()
+            def body(state):
+                # Log-space transmittance carry, bit-matching the forward
+                # kernel's recompute (see its note).
+                i, lt_carry, prefix = state
 
-            get_dma(base + i % 2, i).wait()
-            a = scratch[base + i % 2]  # [NROWS, CHUNK]
+                @pl.when(i + 1 < n_chunks)
+                def _():
+                    get_dma(base + (i + 1) % 2, i + 1).start()
 
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            sl = i * CHUNK + lane
-            valid = (sl >= off) & (sl < seg_end)
-            # Tile-local dx (bit-matches the forward kernel's form).
-            dx = pxl - (a[0:1, :] - ox)
-            dy = pyl - (a[1:2, :] - oy)
-            # fma-chain power (bit-matches the forward kernel's form).
-            qxx = -0.5 * a[2:3, :]
-            qxy = -a[3:4, :]
-            qyy = -0.5 * a[4:5, :]
-            u = qxx * dx + qxy * dy
-            power = u * dx + (qyy * dy) * dy
-            alpha_raw = a[5:6, :] * jnp.exp(power)
-            unclipped = alpha_raw < 0.99
-            alpha = jnp.minimum(0.99, alpha_raw)
-            live = (alpha >= a[10:11, :]) & valid & (power <= 0.0)
-            alpha = jnp.where(live, alpha, 0.0)
-            logs = jnp.log1p(-alpha)
-            # Exclusive prefix, matching the forward kernel's recompute.
-            cum_ex = _lane_cumsum(logs, exclusive=True)
-            t_in = jnp.exp(cum_ex + lt_carry)
-            t_out = t_in * (1.0 - alpha)
-            contrib = t_out >= T_STOP
-            w = jnp.where(contrib, alpha * t_in, 0.0)
+                get_dma(base + i % 2, i).wait()
+                a = scratch[base + i % 2]  # [NROWS, CHUNK]
 
-            # A_i and running prefix of w_j A_j (inclusive). 3-pass hi/lo
-            # bf16 split: HIGHEST costs 6 full passes (and the k=4
-            # contraction pads to 128 on the MXU either way).
-            cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0)
-            g4 = jnp.concatenate([g_rgb, g_d], axis=1)         # [PIX,4]
-            g4h = g4.astype(jnp.bfloat16)
-            g4l = (g4 - g4h.astype(jnp.float32)).astype(jnp.bfloat16)
-            cdh = cd.astype(jnp.bfloat16)
-            cdl = (cd - cdh.astype(jnp.float32)).astype(jnp.bfloat16)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                sl = i * CHUNK + lane
+                valid = (sl >= off) & (sl < seg_end)
+                # Tile-local dx (bit-matches the forward kernel's form).
+                dx = pxl - (a[0:1, :] - ox)
+                dy = pyl - (a[1:2, :] - oy)
+                # fma-chain power (bit-matches the forward kernel's form).
+                qxx = -0.5 * a[2:3, :]
+                qxy = -a[3:4, :]
+                qyy = -0.5 * a[4:5, :]
+                u = qxx * dx + qxy * dy
+                power = u * dx + (qyy * dy) * dy
+                alpha_raw = a[5:6, :] * jnp.exp(power)
+                unclipped = alpha_raw < 0.99
+                alpha = jnp.minimum(0.99, alpha_raw)
+                live = (alpha >= a[10:11, :]) & valid & (power <= 0.0)
+                alpha = jnp.where(live, alpha, 0.0)
+                logs = jnp.log1p(-alpha)
+                # Exclusive prefix, matching the forward kernel's recompute.
+                cum_ex = _lane_cumsum(logs, exclusive=True)
+                t_in = jnp.exp(cum_ex + lt_carry)
+                t_out = t_in * (1.0 - alpha)
+                contrib = t_out >= T_STOP
+                w = jnp.where(contrib, alpha * t_in, 0.0)
 
-            def adot(u_, v_):
-                return jax.lax.dot_general(
-                    u_, v_, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                # A_i and running prefix of w_j A_j (inclusive). 3-pass hi/lo
+                # bf16 split: HIGHEST costs 6 full passes (and the k=4
+                # contraction pads to 128 on the MXU either way).
+                cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0)
+                g4 = jnp.concatenate([g_rgb, g_d], axis=1)         # [PIX,4]
+                g4h = g4.astype(jnp.bfloat16)
+                g4l = (g4 - g4h.astype(jnp.float32)).astype(jnp.bfloat16)
+                cdh = cd.astype(jnp.bfloat16)
+                cdl = (cd - cdh.astype(jnp.float32)).astype(jnp.bfloat16)
 
-            A = adot(g4h, cdh) + adot(g4l, cdh) + adot(g4h, cdl)
-            wA = w * A
-            prefix_i = prefix + _lane_cumsum(wA)               # inclusive
-            suffix = total_contrib - prefix_i                  # [PIX,CHUNK]
+                def adot(u_, v_):
+                    return jax.lax.dot_general(
+                        u_, v_, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
-            # 1/(1-alpha) as exp(-log1p(-alpha)): logs is already in
-            # hand and the hardware exp is far cheaper than a divide.
-            rcp_one_m = jnp.exp(-logs)
-            d_alpha = jnp.where(
-                contrib & live,
-                t_in * A - (suffix + t_fin * b_term) * rcp_one_m, 0.0)
+                A = adot(g4h, cdh) + adot(g4l, cdh) + adot(g4h, cdl)
+                wA = w * A
+                prefix_i = prefix + _lane_cumsum(wA)               # inclusive
+                suffix = total_contrib - prefix_i                  # [PIX,CHUNK]
 
-            # alpha -> (opacity, power); clip gate.
-            d_alpha_eff = jnp.where(unclipped, d_alpha, 0.0)
-            d_power = d_alpha_eff * alpha        # alpha=op*exp(power)
+                # 1/(1-alpha) as exp(-log1p(-alpha)): logs is already in
+                # hand and the hardware exp is far cheaper than a divide.
+                rcp_one_m = jnp.exp(-logs)
+                d_alpha = jnp.where(
+                    contrib & live,
+                    t_in * A - (suffix + t_fin * b_term) * rcp_one_m, 0.0)
 
-            # ONE pixel-moments matmul replaces six per-channel column
-            # sums: dx = px - mx is separable, so every Σ_p d_power·poly
-            # (dx, dy) is a linear combination of Σ_p d_power·{1, px, py,
-            # px², py², px·py}. Local means pair with the local basis.
-            # 2-pass split: the basis entries are small integers (<= 225),
-            # exact in bf16, so only d_power needs hi/lo terms.
-            dph = d_power.astype(jnp.bfloat16)
-            dpl = (d_power - dph.astype(jnp.float32)).astype(jnp.bfloat16)
-            mom = (jax.lax.dot_general(
-                       bb, dph, (((1,), (0,)), ((), ())),
-                       preferred_element_type=jnp.float32)
-                   + jax.lax.dot_general(
-                       bb, dpl, (((1,), (0,)), ((), ())),
-                       preferred_element_type=jnp.float32))  # [6, CHUNK]
-            mxl = a[0:1, :] - ox                             # [1, CHUNK]
-            myl = a[1:2, :] - oy
-            m0 = mom[0:1, :]
-            mx_, my_ = mom[1:2, :], mom[2:3, :]
-            mxx, myy, mxy = mom[3:4, :], mom[4:5, :], mom[5:6, :]
-            cx = mx_ - mxl * m0              # Σ d_power·dx
-            cy = my_ - myl * m0
-            cxx = mxx - 2.0 * mxl * mx_ + mxl * mxl * m0   # Σ d_power·dx²
-            cyy = myy - 2.0 * myl * my_ + myl * myl * m0
-            cxy = mxy - mxl * my_ - myl * mx_ + mxl * myl * m0
-            d_a = -0.5 * cxx
-            d_b = -cxy
-            d_c = -0.5 * cyy
-            # power depends on means via dx = px - mx:
-            # dpower/dmx = a dx + b dy ; dpower/dmy = c dy + b dx
-            d_mx = a[2:3, :] * cx + a[3:4, :] * cy
-            d_my = a[4:5, :] * cy + a[3:4, :] * cx
-            # d_op = d_power/op wherever nonzero (live => op >= alpha >=
-            # ALPHA_MIN, so the clamp only guards exact-zero rows).
-            d_opacity = m0 / jnp.maximum(a[5:6, :], 1e-20)
+                # alpha -> (opacity, power); clip gate.
+                d_alpha_eff = jnp.where(unclipped, d_alpha, 0.0)
+                d_power = d_alpha_eff * alpha        # alpha=op*exp(power)
 
-            # color/depth grads: w^T @ [g_rgb | g_d]; 3-pass hi/lo bf16
-            # split (lane-packing the terms forces unaligned-lane output
-            # slices -> relayouts; see the forward kernel's note).
-            whi = w.astype(jnp.bfloat16)
-            wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
-            g4hi = g4.astype(jnp.bfloat16)
-            g4lo = (g4 - g4hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                # ONE pixel-moments matmul replaces six per-channel column
+                # sums: dx = px - mx is separable, so every Σ_p d_power·poly
+                # (dx, dy) is a linear combination of Σ_p d_power·{1, px, py,
+                # px², py², px·py}. Local means pair with the local basis.
+                # 2-pass split: the basis entries are small integers (<= 225),
+                # exact in bf16, so only d_power needs hi/lo terms.
+                dph = d_power.astype(jnp.bfloat16)
+                dpl = (d_power - dph.astype(jnp.float32)).astype(jnp.bfloat16)
+                mom = (jax.lax.dot_general(
+                           bb, dph, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           bb, dpl, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32))  # [6, CHUNK]
+                mxl = a[0:1, :] - ox                             # [1, CHUNK]
+                myl = a[1:2, :] - oy
+                m0 = mom[0:1, :]
+                mx_, my_ = mom[1:2, :], mom[2:3, :]
+                mxx, myy, mxy = mom[3:4, :], mom[4:5, :], mom[5:6, :]
+                cx = mx_ - mxl * m0              # Σ d_power·dx
+                cy = my_ - myl * m0
+                cxx = mxx - 2.0 * mxl * mx_ + mxl * mxl * m0   # Σ d_power·dx²
+                cyy = myy - 2.0 * myl * my_ + myl * myl * m0
+                cxy = mxy - mxl * my_ - myl * mx_ + mxl * myl * m0
+                d_a = -0.5 * cxx
+                d_b = -cxy
+                d_c = -0.5 * cyy
+                # power depends on means via dx = px - mx:
+                # dpower/dmx = a dx + b dy ; dpower/dmy = c dy + b dx
+                d_mx = a[2:3, :] * cx + a[3:4, :] * cy
+                d_my = a[4:5, :] * cy + a[3:4, :] * cx
+                # d_op = d_power/op wherever nonzero (live => op >= alpha >=
+                # ALPHA_MIN, so the clamp only guards exact-zero rows).
+                d_opacity = m0 / jnp.maximum(a[5:6, :], 1e-20)
 
-            def wdot(u_, v_):
-                return jax.lax.dot_general(
-                    u_, v_, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                # color/depth grads: w^T @ [g_rgb | g_d]; 3-pass hi/lo bf16
+                # split (lane-packing the terms forces unaligned-lane output
+                # slices -> relayouts; see the forward kernel's note).
+                whi = w.astype(jnp.bfloat16)
+                wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+                g4hi = g4.astype(jnp.bfloat16)
+                g4lo = (g4 - g4hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
-            wg = wdot(whi, g4hi) + wdot(wlo, g4hi) + wdot(whi, g4lo)
+                def wdot(u_, v_):
+                    return jax.lax.dot_general(
+                        u_, v_, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
-            grow = jnp.concatenate([
-                d_mx, d_my, d_a, d_b, d_c, d_opacity, wg.T,
-                jnp.zeros((NROWS - 10, CHUNK), jnp.float32)],
-                axis=0)  # [NROWS, CHUNK]
-            # Window-boundary merge: when this tile's segment starts mid-
-            # window (off > 0), the window's first ``off`` lanes hold the
-            # previous nonempty tile's already-written gradients — whose
-            # last written window is by construction THIS window, still
-            # sitting in the VMEM carry buffer. Preserve those lanes.
-            # (Out-of-segment lanes of grow are exact zeros: every grad
-            # is a product with the masked alpha/w.)
-            grow = jnp.where((i == 0) & (lane < off), carry[:, :], grow)
-            carry[:, :] = grow
-            # Double-buffered writeback: retire the slot's previous DMA
-            # just before reuse instead of stalling on every chunk.
-            @pl.when(i >= 2)
-            def _():
+                wg = wdot(whi, g4hi) + wdot(wlo, g4hi) + wdot(whi, g4lo)
+
+                grow = jnp.concatenate([
+                    d_mx, d_my, d_a, d_b, d_c, d_opacity, wg.T,
+                    jnp.zeros((NROWS - 10, CHUNK), jnp.float32)],
+                    axis=0)  # [NROWS, CHUNK]
+                # Window-boundary merge: when this tile's segment starts mid-
+                # window (off > 0), the window's first ``off`` lanes hold the
+                # previous nonempty tile's already-written gradients — whose
+                # last written window is by construction THIS window, still
+                # sitting in the VMEM carry buffer. Preserve those lanes.
+                # (Out-of-segment lanes of grow are exact zeros: every grad
+                # is a product with the masked alpha/w.)
+                grow = jnp.where((i == 0) & (lane < off), carry[:, :], grow)
+                carry[:, :] = grow
+                # Double-buffered writeback: retire the slot's previous DMA
+                # just before reuse instead of stalling on every chunk.
+                @pl.when(i >= 2)
+                def _():
+                    pltpu.make_async_copy(
+                        gscratch.at[i % 2],
+                        gout_ref.at[:, pl.ds(start + (i - 2) * CHUNK, CHUNK)],
+                        gsem.at[i % 2]).wait()
+                gscratch[i % 2] = grow
                 pltpu.make_async_copy(
                     gscratch.at[i % 2],
-                    gout_ref.at[:, pl.ds(start + (i - 2) * CHUNK, CHUNK)],
-                    gsem.at[i % 2]).wait()
-            gscratch[i % 2] = grow
-            pltpu.make_async_copy(
-                gscratch.at[i % 2],
-                gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
-                gsem.at[i % 2]).start()
+                    gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
+                    gsem.at[i % 2]).start()
 
-            lt_next = lt_carry + jnp.sum(
-                jnp.where(contrib, logs, 0.0), axis=1, keepdims=True)
-            prefix_next = prefix + jnp.sum(wA, axis=1, keepdims=True)
-            return i + 1, lt_next, prefix_next
+                lt_next = lt_carry + jnp.sum(
+                    jnp.where(contrib, logs, 0.0), axis=1, keepdims=True)
+                prefix_next = prefix + jnp.sum(wA, axis=1, keepdims=True)
+                return i + 1, lt_next, prefix_next
 
-        init = (jnp.int32(0), jnp.zeros((pix, 1), jnp.float32),
-                jnp.zeros((pix, 1), jnp.float32))
-        i_stop, _, _ = jax.lax.while_loop(cond, body, init)
+            init = (jnp.int32(0), jnp.zeros((pix, 1), jnp.float32),
+                    jnp.zeros((pix, 1), jnp.float32))
+            i_stop, _, _ = jax.lax.while_loop(cond, body, init)
 
-        # Retire the in-flight writebacks of the last (up to) two chunks.
-        def drain(j, _):
-            pltpu.make_async_copy(
-                gscratch.at[j % 2],
-                gout_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
-                gsem.at[j % 2]).wait()
-            return 0
+            # Retire the in-flight writebacks of the last (up to) two chunks.
+            def drain(j, _):
+                pltpu.make_async_copy(
+                    gscratch.at[j % 2],
+                    gout_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
+                    gsem.at[j % 2]).wait()
+                return 0
 
-        jax.lax.fori_loop(jnp.maximum(i_stop - 2, 0), i_stop, drain, 0)
+            jax.lax.fori_loop(jnp.maximum(i_stop - 2, 0), i_stop, drain, 0)
 
-        # Saturation exit leaves chunk i_stop's read DMA in flight
-        # (started in body i_stop-1). Retire it, or its stale semaphore
-        # signal would let the next tile read its slot mid-copy. (No-op
-        # when early_exit=False: i_stop == n_chunks.)
-        @pl.when(i_stop < n_chunks)
+            # Saturation exit leaves chunk i_stop's read DMA in flight
+            # (started in body i_stop-1). Retire it, or its stale semaphore
+            # signal would let the next tile read its slot mid-copy. (No-op
+            # when early_exit=False: i_stop == n_chunks.)
+            @pl.when(i_stop < n_chunks)
+            def _():
+                get_dma(base + i_stop % 2, i_stop).wait()
+
+            # Early-exit leaves later chunks unwritten in the ANY-space
+            # output — zero-fill so the downstream grad reduction sees clean
+            # zeros. Only chunks >= 1 can be zero-filled (chunk 0 always runs
+            # when count > 0), so no prev-tile lanes are clobbered; the carry
+            # must track the last written window for the NEXT tile's
+            # boundary merge.
+            def zero_fill(i, _):
+                gscratch[i % 2] = jnp.zeros((NROWS, CHUNK), jnp.float32)
+                cp = pltpu.make_async_copy(
+                    gscratch.at[i % 2],
+                    gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
+                    gsem.at[i % 2])
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(i_stop, n_chunks, zero_fill, 0)
+
+            @pl.when(i_stop < n_chunks)
+            def _():
+                carry[:, :] = jnp.zeros((NROWS, CHUNK), jnp.float32)
+
+        # Empty tiles own zero pairs — nothing to write; skip the whole
+        # per-tile setup (the [8, PIX] g/fwd reads, three narrow
+        # transposes and the TotalContrib reduction run ~0.3 us/tile).
+        @pl.when(count > 0)
         def _():
-            get_dma(base + i_stop % 2, i_stop).wait()
+            _bwd_tile()
 
-        # Early-exit leaves later chunks unwritten in the ANY-space
-        # output — zero-fill so the downstream grad reduction sees clean
-        # zeros. Only chunks >= 1 can be zero-filled (chunk 0 always runs
-        # when count > 0), so no prev-tile lanes are clobbered; the carry
-        # must track the last written window for the NEXT tile's
-        # boundary merge.
-        def zero_fill(i, _):
-            gscratch[i % 2] = jnp.zeros((NROWS, CHUNK), jnp.float32)
-            cp = pltpu.make_async_copy(
-                gscratch.at[i % 2],
-                gout_ref.at[:, pl.ds(start + i * CHUNK, CHUNK)],
-                gsem.at[i % 2])
-            cp.start()
-            cp.wait()
-            return 0
-
-        jax.lax.fori_loop(i_stop, n_chunks, zero_fill, 0)
-
-        @pl.when(i_stop < n_chunks)
-        def _():
-            carry[:, :] = jnp.zeros((NROWS, CHUNK), jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, group, one_tile, 0)

@@ -107,6 +107,14 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
     pxl = jnp.mod(lin, tile_w).astype(jnp.float32)
     pyl = (lin // tile_w).astype(jnp.float32)
 
+    # Empty-tile fast path (hoisted): zero accumulators, T = 1. Half the
+    # bench scene's tiles are empty, and running them through the normal
+    # epilogue (a [pix,4]/[pix,1] concat + transpose — ~96 lane-padded
+    # vreg ops) measured ~0.25 us/tile = 2.0 ms/frame at 1080p for pure
+    # overhead; this constant store is ~10x cheaper.
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (8, pix), 0)
+    empty_out = jnp.where(row_idx == 4, 1.0, 0.0)
+
     def one_tile(g, _):
         tx = txg * group + g
         # Tile-LOCAL coordinates: dx = pxl - (mx - ox) shifts the
@@ -147,114 +155,128 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
         def _():
             issue_chunk0(row + 1, ((row + 1) % 2) * 2)
 
-        log_stop = jnp.log(jnp.float32(T_STOP))
+        def _composite_tile():
+            log_stop = jnp.log(jnp.float32(T_STOP))
 
-        def cond(state):
-            i, lt_carry, _ = state
-            if not early_exit:
-                # The saturation check costs more than it saves on
-                # short-segment scenes: the per-chunk [pix,1] max +
-                # vector->scalar sync in a data-dependent loop bound
-                # measured 1.3-1.5 ms/frame at 1080p (avg 1.2 chunks
-                # per tile — the exit almost never fires before the
-                # segment ends). Output is identical either way: the
-                # contrib gate inside the body already zeroes
-                # saturated contributions.
-                return i < n_chunks
-            return jnp.logical_and(i < n_chunks,
-                                   jnp.max(lt_carry) >= log_stop)
+            def cond(state):
+                i, lt_carry, _ = state
+                if not early_exit:
+                    # The saturation check costs more than it saves on
+                    # short-segment scenes: the per-chunk [pix,1] max +
+                    # vector->scalar sync in a data-dependent loop bound
+                    # measured 1.3-1.5 ms/frame at 1080p (avg 1.2 chunks
+                    # per tile — the exit almost never fires before the
+                    # segment ends). Output is identical either way: the
+                    # contrib gate inside the body already zeroes
+                    # saturated contributions.
+                    return i < n_chunks
+                return jnp.logical_and(i < n_chunks,
+                                       jnp.max(lt_carry) >= log_stop)
 
-        def body(state):
-            # The transmittance carry rides in LOG space: folding it
-            # into the prefix exp (exp(cum + lt)) deletes a [pix,1] exp
-            # + two muls per chunk — [pix,1] values occupy 32 lane-
-            # padded vregs, so narrow ops cost like full-width ones.
-            i, lt_carry, acc4 = state
+            def body(state):
+                # The transmittance carry rides in LOG space: folding it
+                # into the prefix exp (exp(cum + lt)) deletes a [pix,1] exp
+                # + two muls per chunk — [pix,1] values occupy 32 lane-
+                # padded vregs, so narrow ops cost like full-width ones.
+                i, lt_carry, acc4 = state
 
-            @pl.when(i + 1 < n_chunks)
+                @pl.when(i + 1 < n_chunks)
+                def _():
+                    get_dma(base + (i + 1) % 2, i + 1).start()
+
+                get_dma(base + i % 2, i).wait()
+                a = scratch[base + i % 2]  # [NROWS, CHUNK]
+
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+                sl = i * CHUNK + lane               # in-window slot [1,CHUNK]
+                valid = (sl >= off) & (sl < seg_end)
+
+                dx = pxl - (a[0:1, :] - ox)  # [PIX, CHUNK]
+                dy = pyl - (a[1:2, :] - oy)
+                # fma-chain form of -0.5(ca dx^2 + cc dy^2) - cb dx dy:
+                # 7 [PIX,CHUNK] ops vs 10 (the negated conic rows are
+                # [1,CHUNK] — near-free).
+                qxx = -0.5 * a[2:3, :]
+                qxy = -a[3:4, :]
+                qyy = -0.5 * a[4:5, :]
+                u = qxx * dx + qxy * dy
+                power = u * dx + (qyy * dy) * dy
+                alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
+                alpha = jnp.where(
+                    (alpha >= a[10:11, :]) & valid & (power <= 0.0),
+                    alpha, 0.0)
+                logs = jnp.log1p(-alpha)
+                # exclusive prefix -> T entering each splat directly; the
+                # inclusive-prefix + divide variant measured 0.5 ms/frame
+                # slower at 1080p (A/B, PERF.md)
+                cum_ex = _lane_cumsum(logs, exclusive=True)
+                t_in = jnp.exp(cum_ex + lt_carry)
+                t_out = t_in * (1.0 - alpha)
+                contrib = t_out >= T_STOP
+                w = jnp.where(contrib, alpha * t_in, 0.0)  # [PIX, CHUNK]
+
+                # [PIX, CHUNK] @ [CHUNK, 4] -> MXU. Manual 3-pass hi/lo
+                # bf16 split: Precision.HIGHEST costs 6 full passes and
+                # measured 1.3 ms/frame slower at 1080p (A/B, PERF.md);
+                # the split keeps ~2^-16 relative accuracy. (Lane-packing
+                # the hi/lo terms into one [CHUNK,8] operand measured
+                # +1.9 ms: the [:, 0:4]/[:, 4:8] output slices sit at
+                # unaligned lane offsets and force relayouts.)
+                cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0).T
+                whi = w.astype(jnp.bfloat16)
+                wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
+                cdb = cd.astype(jnp.bfloat16)
+                cdl = (cd - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc4 = acc4 + (jax.lax.dot_general(
+                           whi, cdb, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           wlo, cdb, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32)
+                       + jax.lax.dot_general(
+                           whi, cdl, (((1,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32))
+                # VPU lane reduce: an MXU ones-column dot here measured a
+                # 4 ms/frame REGRESSION (small-N matmuls stall the pipe).
+                lt_next = lt_carry + jnp.sum(
+                    jnp.where(contrib, logs, 0.0), axis=1, keepdims=True)
+                return i + 1, lt_next, acc4
+
+            init = (jnp.int32(0), jnp.zeros((pix, 1), jnp.float32),
+                    jnp.zeros((pix, 4), jnp.float32))
+            i_end, lt_fin, acc4 = jax.lax.while_loop(cond, body, init)
+            t_fin = jnp.exp(lt_fin)
+
+            # Saturation exit leaves chunk i_end's DMA in flight (started in
+            # body i_end-1). Retire it, or its stale semaphore signal would
+            # let the tile two rows ahead read its slot mid-copy. (With
+            # early_exit=False i_end == n_chunks and this is a no-op.)
+            @pl.when(i_end < n_chunks)
             def _():
-                get_dma(base + (i + 1) % 2, i + 1).start()
+                get_dma(base + i_end % 2, i_end).wait()
 
-            get_dma(base + i % 2, i).wait()
-            a = scratch[base + i % 2]  # [NROWS, CHUNK]
+            # RAW outputs (no background composite): rows 0-3 are the bare
+            # rgb+depth accumulators, row 4 the final transmittance. The
+            # caller composites `raw + T*[bg, DEPTH_EMPTY]` in XLA over the
+            # dense [T,8,pix] output — doing it here cost ~96 lane-padded
+            # vreg-ops per tile on [pix,4]/[pix,1] values, and the backward
+            # kernel's TotalContrib/B terms get simpler with raw rows.
+            out = jnp.concatenate(
+                [acc4, t_fin, jnp.zeros((pix, 3), jnp.float32)], axis=1)
+            out_ref[0, g] = out.T  # [8, pix]
 
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            sl = i * CHUNK + lane               # in-window slot [1,CHUNK]
-            valid = (sl >= off) & (sl < seg_end)
-
-            dx = pxl - (a[0:1, :] - ox)  # [PIX, CHUNK]
-            dy = pyl - (a[1:2, :] - oy)
-            # fma-chain form of -0.5(ca dx^2 + cc dy^2) - cb dx dy:
-            # 7 [PIX,CHUNK] ops vs 10 (the negated conic rows are
-            # [1,CHUNK] — near-free).
-            qxx = -0.5 * a[2:3, :]
-            qxy = -a[3:4, :]
-            qyy = -0.5 * a[4:5, :]
-            u = qxx * dx + qxy * dy
-            power = u * dx + (qyy * dy) * dy
-            alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
-            alpha = jnp.where(
-                (alpha >= a[10:11, :]) & valid & (power <= 0.0),
-                alpha, 0.0)
-            logs = jnp.log1p(-alpha)
-            # exclusive prefix -> T entering each splat directly; the
-            # inclusive-prefix + divide variant measured 0.5 ms/frame
-            # slower at 1080p (A/B, PERF.md)
-            cum_ex = _lane_cumsum(logs, exclusive=True)
-            t_in = jnp.exp(cum_ex + lt_carry)
-            t_out = t_in * (1.0 - alpha)
-            contrib = t_out >= T_STOP
-            w = jnp.where(contrib, alpha * t_in, 0.0)  # [PIX, CHUNK]
-
-            # [PIX, CHUNK] @ [CHUNK, 4] -> MXU. Manual 3-pass hi/lo
-            # bf16 split: Precision.HIGHEST costs 6 full passes and
-            # measured 1.3 ms/frame slower at 1080p (A/B, PERF.md);
-            # the split keeps ~2^-16 relative accuracy. (Lane-packing
-            # the hi/lo terms into one [CHUNK,8] operand measured
-            # +1.9 ms: the [:, 0:4]/[:, 4:8] output slices sit at
-            # unaligned lane offsets and force relayouts.)
-            cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0).T
-            whi = w.astype(jnp.bfloat16)
-            wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
-            cdb = cd.astype(jnp.bfloat16)
-            cdl = (cd - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc4 = acc4 + (jax.lax.dot_general(
-                       whi, cdb, (((1,), (0,)), ((), ())),
-                       preferred_element_type=jnp.float32)
-                   + jax.lax.dot_general(
-                       wlo, cdb, (((1,), (0,)), ((), ())),
-                       preferred_element_type=jnp.float32)
-                   + jax.lax.dot_general(
-                       whi, cdl, (((1,), (0,)), ((), ())),
-                       preferred_element_type=jnp.float32))
-            # VPU lane reduce: an MXU ones-column dot here measured a
-            # 4 ms/frame REGRESSION (small-N matmuls stall the pipe).
-            lt_next = lt_carry + jnp.sum(
-                jnp.where(contrib, logs, 0.0), axis=1, keepdims=True)
-            return i + 1, lt_next, acc4
-
-        init = (jnp.int32(0), jnp.zeros((pix, 1), jnp.float32),
-                jnp.zeros((pix, 4), jnp.float32))
-        i_end, lt_fin, acc4 = jax.lax.while_loop(cond, body, init)
-        t_fin = jnp.exp(lt_fin)
-
-        # Saturation exit leaves chunk i_end's DMA in flight (started in
-        # body i_end-1). Retire it, or its stale semaphore signal would
-        # let the tile two rows ahead read its slot mid-copy. (With
-        # early_exit=False i_end == n_chunks and this is a no-op.)
-        @pl.when(i_end < n_chunks)
+        # Empty tiles skip the while_loop setup AND the narrow-value
+        # epilogue entirely — a constant [8, pix] store instead (~10x
+        # cheaper than the 0.25 us/tile the full epilogue measured; half
+        # the 1080p bench scene's tiles are empty).
+        @pl.when(count == 0)
         def _():
-            get_dma(base + i_end % 2, i_end).wait()
+            out_ref[0, g] = empty_out
 
-        # RAW outputs (no background composite): rows 0-3 are the bare
-        # rgb+depth accumulators, row 4 the final transmittance. The
-        # caller composites `raw + T*[bg, DEPTH_EMPTY]` in XLA over the
-        # dense [T,8,pix] output — doing it here cost ~96 lane-padded
-        # vreg-ops per tile on [pix,4]/[pix,1] values, and the backward
-        # kernel's TotalContrib/B terms get simpler with raw rows.
-        out = jnp.concatenate(
-            [acc4, t_fin, jnp.zeros((pix, 3), jnp.float32)], axis=1)
-        out_ref[0, g] = out.T  # [8, pix]
+        @pl.when(count > 0)
+        def _():
+            _composite_tile()
+
         return 0
 
     jax.lax.fori_loop(0, group, one_tile, 0)

@@ -227,15 +227,30 @@ def render(params: GaussianParams, camera: RenderCamera,
             bins.counts.astype(jnp.float32))
         # Background composite over the dense raw tiles (bg-free
         # accumulators + final T) — in XLA, where it is a fused
-        # full-width pass and autodiff covers d_bg.
+        # full-width pass and autodiff covers d_bg. rgb rides as three
+        # PLANAR [T, PIX] channels through _assemble and is interleaved
+        # at the very end: the interleaved [T, PIX, 3] path paid
+        # ~0.6 ms/frame of layout copies at 1080p (xplane, PERF.md)
+        # where each planar channel assembles in ~0.1 ms like depth.
         bgv = jnp.asarray(bg_color, jnp.float32)
         t_fin = tiles8[:, 4, :]                            # [T, PIX]
-        tile_rgb = (jnp.swapaxes(tiles8[:, 0:3, :], 1, 2)
-                    + t_fin[:, :, None] * bgv[None, None, :])
+        tile_chan = [tiles8[:, c, :] + t_fin * bgv[c] for c in range(3)]
         tile_depth = tiles8[:, 3, :] + t_fin * composite.DEPTH_EMPTY
         tile_alpha = 1.0 - t_fin
-        out = composite.TileImage(rgb=tile_rgb, depth=tile_depth,
-                                  alpha=tile_alpha)
+        rgb = jnp.stack(
+            [_assemble(ch, tiles_x, tiles_y, tile_w, tile_h,
+                       camera.width, camera.height)
+             for ch in tile_chan], axis=-1)
+        depth = _assemble(tile_depth, tiles_x, tiles_y, tile_w, tile_h,
+                          camera.width, camera.height)
+        alpha = _assemble(tile_alpha, tiles_x, tiles_y, tile_w, tile_h,
+                          camera.width, camera.height)
+        return RenderOutput(rgb=rgb, depth=depth, alpha=alpha,
+                            radii=proj.radius,
+                            visibility=proj.radius > 0,
+                            pairs=bins.total_pairs,
+                            pad_pairs=bins.pad_pairs,
+                            expand_needed=bins.expand_needed)
     else:
         pix = _tile_pixel_coords(tiles_x, tiles_y, tile_w, tile_h)
         out = composite.composite_tiles(

@@ -8,13 +8,16 @@ reference publishes no numbers).
 The breakdown makes "fast" auditable instead of asserted:
 - per-stage times from jitted multi-op sub-graphs (single-op timings lie
   under the axon tunnel; composite graphs track real code changes),
-- two ON-DEVICE measured ceilings — HBM copy bandwidth and dense bf16
-  MXU matmul throughput — and the hot stages' achieved fractions of
-  them: the pair gather's bytes/s vs the copy ceiling, and the
-  composite's MXU flops (its per-chunk cost is dominated by the
-  [PIX,CHUNK]x[CHUNK,CHUNK] prefix-sum tri-matmuls) vs the matmul
-  ceiling. The composite also reports pair-pixels/s, its
-  hardware-independent work rate.
+- three ON-DEVICE measured ceilings — HBM copy bandwidth, dense bf16
+  MXU matmul throughput, and sustained VPU f32 elementwise rate (via
+  an xplane trace; wall-clock lies for that chain shape under axon) —
+  and the hot stages' achieved fractions of them: the pair gather's
+  bytes/s vs the copy ceiling, and the composite vs BOTH compute
+  ceilings (composite_vpu_frac near 1.0 = the kernel is at the vector
+  unit's speed-of-light; its MXU fraction is small because the
+  prefix-sum tri-matmuls overlap the VPU work). The same trace reports
+  the composite kernel's device self-time, and the composite also
+  reports pair-pixels/s, its hardware-independent work rate.
 
 Runs on whatever the default JAX backend is (the driver provides one real
 TPU chip via axon). Scene: 100k procedurally-placed gaussians.
@@ -207,6 +210,70 @@ def main():
     mxu_tflops = passes * 2 * 4096 ** 3 / max(t_mm - t_disp,
                                               1e-9) / 1e12
 
+    # VPU elementwise ceiling — the roofline that actually binds the
+    # composite (it runs ~13% MXU; its per-chunk cost is VPU vector
+    # ops). Two measurement traps (exp_vpu_ceiling.py): wall-clock
+    # block_until_ready reads ~0 for this chain shape under axon, so
+    # the time comes from an xplane trace; and an affine y*c+d chain is
+    # algebraically collapsed by XLA, so the chain squares
+    # (y*y*1e-10 + 0.5 — a stable fixed point, 2 vector ops per step).
+    # The same trace captures the composite kernel's device self-time.
+    vpu_tops = None
+    comp_dev_ms = None
+    try:
+        import glob
+        import os
+        import tempfile
+
+        os.environ.setdefault(
+            "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+        k_inner, vpu_iters, comp_iters = 32, 5, 10
+        xv = jnp.full((16 * 1024 * 1024,), 1.0, jnp.float32)
+
+        @jax.jit
+        def sq_chain(x):
+            def body(_, y):
+                for _ in range(k_inner):
+                    y = y * y * 1e-10 + 0.5
+                return y
+            return jax.lax.fori_loop(0, passes, body, x)
+
+        jax.block_until_ready(sq_chain(xv))
+        tdir = tempfile.mkdtemp(prefix="bench_vpu_trace_")
+        jax.profiler.start_trace(tdir)
+        for _ in range(vpu_iters):
+            o_ = sq_chain(xv)
+        jax.block_until_ready(o_)
+        for _ in range(comp_iters):
+            o_ = stage_composite(attrs_t, bins.seg_start, bins.counts)
+        jax.block_until_ready(o_)
+        jax.profiler.stop_trace()
+
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+        pbs = sorted(glob.glob(tdir + "/**/*.xplane.pb", recursive=True))
+        xs = xplane_pb2.XSpace()
+        with open(pbs[-1], "rb") as f:
+            xs.ParseFromString(f.read())
+        t_sq = t_cp = 0.0
+        for plane in xs.planes:
+            if not plane.name.startswith("/device:TPU"):
+                continue
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                meta = plane.event_metadata
+                for ev in line.events:
+                    name = meta[ev.metadata_id].name
+                    if "composite_pallas" in name:
+                        t_cp += ev.duration_ps / 1e12
+                    elif "while" in name or "fusion" in name:
+                        t_sq += ev.duration_ps / 1e12
+        vpu_tops = (xv.size * 2 * k_inner * passes * vpu_iters
+                    / max(t_sq, 1e-9) / 1e12)
+        comp_dev_ms = t_cp / comp_iters * 1e3
+    except Exception as e:  # tf protobuf absent / trace failure
+        print(f"vpu ceiling unavailable: {e!r}", file=sys.stderr)
+
     # ---- achieved fractions ------------------------------------------
     pairs = int(out.pairs)
     # Gather stage: random-access read of 16 f32 rows per budgeted slot
@@ -229,6 +296,23 @@ def main():
     comp_mxu_frac = comp_mxu_flops / t_comp_net / 1e12 / mxu_tflops
     pair_pixels_per_s = pairs * pix / t_comp_net
 
+    # Composite VPU fraction: the kernel body runs ~44 full-width
+    # vector instructions per [PIX, CHUNK] chunk (counted from
+    # pallas_composite._kernel: dx/dy 2, fma-chain power 7,
+    # exp/gate/alpha ~10, log1p+cumsum splits 6, T/w chain 8, bf16 w
+    # split 4, lane-reduce ~7 — [pix,1] narrows cost full vregs), i.e.
+    # 44*PIX*CHUNK element-ops per chunk, vs the MEASURED sustained VPU
+    # rate. >= ~0.9 means the kernel is at the vector unit's
+    # speed-of-light and further gains need fewer ops, not scheduling;
+    # fractions slightly ABOVE 1.0 are real: the count includes the
+    # transcendentals and the cumsum operand converts, which partially
+    # retire on the EUP/MXU concurrently with VPU issue.
+    comp_vpu_frac = None
+    if vpu_tops and comp_dev_ms:
+        comp_elem_ops = 44 * pix * CHUNK * chunks
+        comp_vpu_frac = (comp_elem_ops / (comp_dev_ms / 1e3)
+                         / 1e12 / vpu_tops)
+
     # Stage times carry one tunnel dispatch each; report them net of
     # the measured null dispatch so they sum toward full_frame.
     net = lambda t: round(max(t - t_disp, 0.0) * 1e3, 2)  # noqa: E731
@@ -245,11 +329,16 @@ def main():
         "ceilings": {
             "hbm_copy_gbps": round(hbm_gbps, 1),
             "mxu_bf16_tflops": round(mxu_tflops, 1),
+            "vpu_f32_tops": (round(vpu_tops, 2) if vpu_tops else None),
         },
         "gather_gbps": round(gather_gbps, 1),
         "gather_hbm_frac": round(gather_gbps / hbm_gbps, 3),
         "composite_chunk_iters": chunks,
+        "composite_device_ms": (round(comp_dev_ms, 2)
+                                if comp_dev_ms else None),
         "composite_mxu_frac": round(comp_mxu_frac, 3),
+        "composite_vpu_frac": (round(comp_vpu_frac, 3)
+                               if comp_vpu_frac else None),
         "composite_gpairpix_per_s": round(pair_pixels_per_s / 1e9, 2),
     }
 

@@ -211,7 +211,6 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
     assert p_pad <= BIG, "slot indices must stay below the bf16 sentinel"
 
     starts_i = jnp.where(active_c, starts_c, jnp.int32(BIG))
-    starts_f = starts_i.astype(jnp.float32)
     s_hi, s_mid, s_lo = _bf16_mask_split(
         starts_i, (0xFF0000, 0x00FF00, 0x0000FF))
 
@@ -242,14 +241,34 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
     table = table.at[:, _L_S0].set(jnp.bfloat16(BIG))  # pads never fire
     table = table.at[:n, :chans.shape[1]].set(chans)
 
-    # per-block first-gaussian window origin (16-aligned: bf16 sublane
-    # tile). method="sort": the default binary-search lowering is a
-    # 17-pass while loop that cost ~2.4 ms at 10k blocks.
+    # Per-block first-gaussian window origin (16-aligned: bf16 sublane
+    # tile): g_first[b] = #{active g : start_g <= b*B} - 1. Computed as
+    # an MXU histogram + cumsum over block bins — searchsorted was the
+    # binning stage's single hottest XLA op on hardware (the
+    # method="sort" lowering merges starts+queries into one 105k sort
+    # and recovers query ranks through a serializing scatter chain,
+    # ~0.77 ms at 1080p; the default binary-search lowering is a
+    # 17-pass while loop that cost ~2.4 ms at 10k blocks). start_g <=
+    # b*B <=> ceil(start_g/B) <= b, so bin c_g = ceil(start_g/B),
+    # factorized rank-1 as (c//64, c%64): the bin histogram is ONE
+    # bf16 0/1-operand matmul (exact; f32 accumulation, counts < 2^24)
+    # + a cumsum, exactly the coverage-histogram trick binning._seg_bins
+    # uses for tile counts.
     block_starts = jnp.arange(nb_pad, dtype=jnp.int32) * B
-    g_first = jnp.maximum(
-        jnp.searchsorted(starts_f, block_starts.astype(jnp.float32),
-                         side="right", method="sort").astype(jnp.int32)
-        - 1, 0)
+    c_bin = jnp.where(active_c, -(-starts_c // B), INT_MAX)
+    c_bin = jnp.minimum(c_bin, nb_pad)        # nb_pad = discard bin
+    hi_bins = -(-(nb_pad + 1) // 64)
+    c_hi = (c_bin // 64)[:, None]
+    c_lo = (c_bin % 64)[:, None]
+    u = (c_hi == jnp.arange(hi_bins, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16)                          # [N, HI]
+    v = (c_lo == jnp.arange(64, dtype=jnp.int32)[None, :]).astype(
+        jnp.bfloat16)                          # [N, 64]
+    hist = jax.lax.dot_general(
+        u, v, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)    # [HI, 64]
+    cum = jnp.cumsum(hist.reshape(-1)[:nb_pad].astype(jnp.int32))
+    g_first = jnp.maximum(cum - 1, 0)
     g0r = (g_first // 16) * 16
     # Smallest valid window for this data: block b's window must reach
     # the owner of its last slot, upper-bounded by g_first[b+1] (the

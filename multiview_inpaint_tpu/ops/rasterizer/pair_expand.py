@@ -86,30 +86,40 @@ def _kernel(gid_bits, tiles_x, window, g0r_ref, total_ref, table_ref,
             base_ref, out_ref, vals_s, scratch, sems):
     step = pl.program_id(0)
     total = total_ref[0]
+    nblk = pl.num_programs(0) * GROUP
 
-    def get_dma(g):
-        blk = step * GROUP + g
+    # Window DMAs are slotted on GLOBAL block index mod 4 and issued
+    # TWO blocks ahead, across grid-step boundaries. The previous
+    # scheme (2 slots, issue-1-ahead, cold DMA at the top of every
+    # step) exposed the window DMA latency once per step — ~0.5 ms
+    # across the 635 steps at 1080p — on a kernel whose per-block
+    # compute (~0.3 us of MXU) is shorter than the DMA round trip.
+    def get_dma(blk):
         g0 = pl.multiple_of(g0r_ref[blk], 16)
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(g0, window), :], scratch.at[g % 2],
-            sems.at[g % 2])
+            table_ref.at[pl.ds(g0, window), :], scratch.at[blk % 4],
+            sems.at[blk % 4])
 
-    get_dma(0).start()
+    @pl.when(step == 0)
+    def _():
+        get_dma(0).start()
+        get_dma(1).start()
 
     # Phase 1: one matmul per block -> raw channel sums [128, B].
     def one_block(g, _):
-        @pl.when(g + 1 < GROUP)
-        def _():
-            get_dma(g + 1).start()
+        blk = step * GROUP + g
 
-        get_dma(g).wait()
-        tab = scratch[g % 2]                       # [K, 128] bf16
+        @pl.when(blk + 2 < nblk)
+        def _():
+            get_dma(blk + 2).start()
+
+        get_dma(blk).wait()
+        tab = scratch[blk % 4]                     # [K, 128] bf16
 
         # exact f32 starts from the 3-lane bf16 split
         s = (tab[:, _L_S0:_L_S0 + 1].astype(jnp.float32)
              + tab[:, _L_S1:_L_S1 + 1].astype(jnp.float32)
              + tab[:, _L_S2:_L_S2 + 1].astype(jnp.float32))   # [K, 1]
-        blk = step * GROUP + g
         j = (blk * B + jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
              ).astype(jnp.float32)                 # [1, B]
         ind = (s <= j).astype(jnp.bfloat16)        # [K, B]
@@ -309,8 +319,8 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((GROUP, 8, B), jnp.float32),    # phase-1 sums
-            pltpu.VMEM((2, window, 128), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, window, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     keys = pl.pallas_call(

@@ -220,14 +220,16 @@ def main():
     # The same trace captures the composite kernel's device self-time.
     vpu_tops = None
     comp_dev_ms = None
+    stage_dev_ms = None
     try:
         import glob
         import os
+        import shutil
         import tempfile
 
         os.environ.setdefault(
             "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
-        k_inner, vpu_iters, comp_iters = 32, 5, 10
+        k_inner, vpu_iters, dev_iters = 32, 5, 10
         xv = jnp.full((16 * 1024 * 1024,), 1.0, jnp.float32)
 
         @jax.jit
@@ -238,39 +240,65 @@ def main():
                 return y
             return jax.lax.fori_loop(0, passes, body, x)
 
-        jax.block_until_ready(sq_chain(xv))
-        tdir = tempfile.mkdtemp(prefix="bench_vpu_trace_")
-        jax.profiler.start_trace(tdir)
-        for _ in range(vpu_iters):
-            o_ = sq_chain(xv)
-        jax.block_until_ready(o_)
-        for _ in range(comp_iters):
-            o_ = stage_composite(attrs_t, bins.seg_start, bins.counts)
-        jax.block_until_ready(o_)
-        jax.profiler.stop_trace()
+        tbase = tempfile.mkdtemp(prefix="bench_trace_")
 
-        from tensorflow.tsl.profiler.protobuf import xplane_pb2
-        pbs = sorted(glob.glob(tdir + "/**/*.xplane.pb", recursive=True))
-        xs = xplane_pb2.XSpace()
-        with open(pbs[-1], "rb") as f:
-            xs.ParseFromString(f.read())
-        t_sq = t_cp = 0.0
-        for plane in xs.planes:
-            if not plane.name.startswith("/device:TPU"):
-                continue
-            for line in plane.lines:
-                if line.name != "XLA Ops":
+        def device_ms(fn, iters, tag):
+            """Total 'XLA Ops' device self-time per call, via xplane —
+            the only truthful clock for single-op graphs under axon."""
+            from tensorflow.tsl.profiler.protobuf import xplane_pb2
+            jax.block_until_ready(fn())
+            d = os.path.join(tbase, tag)
+            shutil.rmtree(d, ignore_errors=True)
+            jax.profiler.start_trace(d)
+            for _ in range(iters):
+                o_ = fn()
+            jax.block_until_ready(o_)
+            jax.profiler.stop_trace()
+            pbs = sorted(glob.glob(d + "/**/*.xplane.pb",
+                                   recursive=True))
+            xs = xplane_pb2.XSpace()
+            with open(pbs[-1], "rb") as f:
+                xs.ParseFromString(f.read())
+            tot = comp = 0.0
+            for plane in xs.planes:
+                if not plane.name.startswith("/device:TPU"):
                     continue
-                meta = plane.event_metadata
-                for ev in line.events:
-                    name = meta[ev.metadata_id].name
-                    if "composite_pallas" in name:
-                        t_cp += ev.duration_ps / 1e12
-                    elif "while" in name or "fusion" in name:
-                        t_sq += ev.duration_ps / 1e12
-        vpu_tops = (xv.size * 2 * k_inner * passes * vpu_iters
-                    / max(t_sq, 1e-9) / 1e12)
-        comp_dev_ms = t_cp / comp_iters * 1e3
+                for line in plane.lines:
+                    if line.name != "XLA Ops":
+                        continue
+                    meta = plane.event_metadata
+                    for ev in line.events:
+                        tot += ev.duration_ps / 1e9
+                        if "composite_pallas" in (
+                                meta[ev.metadata_id].name):
+                            comp += ev.duration_ps / 1e9
+            return tot / iters, comp / iters
+
+        t_sq_ms, _ = device_ms(lambda: sq_chain(xv), vpu_iters, "vpu")
+        vpu_tops = (xv.size * 2 * k_inner * passes
+                    / max(t_sq_ms / 1e3, 1e-9) / 1e12)
+        # Device-true stage times (the wall-clock stage rows above carry
+        # tunnel-dispatch noise and need not sum to full_frame; these
+        # do, up to inter-op gaps).
+        d_proj, _ = device_ms(lambda: stage_project(params), dev_iters,
+                              "proj")
+        d_bin, _ = device_ms(lambda: stage_binning(proj), dev_iters,
+                             "bin")
+        d_gat, _ = device_ms(lambda: stage_gather(proj, bins),
+                             dev_iters, "gath")
+        d_comp, comp_dev = device_ms(
+            lambda: stage_composite(attrs_t, bins.seg_start,
+                                    bins.counts), dev_iters, "comp")
+        d_frame, _ = device_ms(
+            lambda: render(params, rcam, bg, **kwargs), dev_iters,
+            "frame")
+        comp_dev_ms = comp_dev
+        stage_dev_ms = {
+            "project": round(d_proj, 2), "binning": round(d_bin, 2),
+            "pair_gather": round(d_gat, 2),
+            "composite": round(d_comp, 2),
+            "full_frame": round(d_frame, 2),
+        }
     except Exception as e:  # tf protobuf absent / trace failure
         print(f"vpu ceiling unavailable: {e!r}", file=sys.stderr)
 
@@ -326,6 +354,7 @@ def main():
             "full_frame": round(dt * 1e3, 2),
         },
         "pairs": pairs,
+        "stages_device_ms": stage_dev_ms,
         "ceilings": {
             "hbm_copy_gbps": round(hbm_gbps, 1),
             "mxu_bf16_tflops": round(mxu_tflops, 1),

@@ -429,3 +429,59 @@ def test_expand_window_adaptive():
         c = binning.bin_gaussians(means2d, radius, depth, **kw,
                                   expand_window=16)
         assert int(c.expand_needed) > 16
+
+
+def test_expand_keys_block_boundary_exactness():
+    """Direct adversarial test of pair_expand.expand_keys against a
+    numpy reference, with segment starts landing EXACTLY on 256-slot
+    block boundaries (and one off either side): g_first[b] is now an
+    MXU-histogram cumsum (#{g: start <= b*B} - 1) and an off-by-one
+    there corrupts every key in a block."""
+    from multiview_inpaint_tpu.ops.rasterizer import pair_expand
+
+    B = pair_expand.B
+    tiles_x = 8
+    # counts engineered so starts hit {B, 2B, 3B-1, 3B, 3B+1, ...}
+    counts = [B, B, B - 1, 1, 1, B - 1, 37, 91, 128, 256, 64]
+    n_active = len(counts)
+    n = n_active + 5  # trailing inactive (count-0) rows
+    starts_np = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(np.sum(counts))
+    rng = np.random.default_rng(7)
+    x0 = np.zeros(n, np.int32)
+    y0 = np.zeros(n, np.int32)
+    w = np.ones(n, np.int32)
+    x0[:n_active] = rng.integers(0, 4, n_active)
+    y0[:n_active] = rng.integers(0, 3, n_active)
+    w[:n_active] = rng.integers(1, 5, n_active)
+    active = np.arange(n) < n_active
+    starts = np.zeros(n, np.int32)
+    starts[:n_active] = starts_np
+    gid_bits = max(1, n.bit_length())
+    pair_budget = -(-total // 128) * 128 + 128
+
+    keys, needed = pair_expand.expand_keys(
+        jnp.asarray(starts, jnp.int32), jnp.asarray(x0),
+        jnp.asarray(y0), jnp.asarray(w), jnp.asarray(active),
+        jnp.int32(total), n, gid_bits, tiles_x, pair_budget,
+        interpret=True)
+    keys = np.asarray(keys)
+
+    # numpy reference: owner of slot j = last active g with start <= j.
+    ref = np.full(pair_budget, 2**31 - 1, np.int64)
+    for j in range(total):
+        g = int(np.searchsorted(starts_np, j, side="right")) - 1
+        q, r = divmod(j - starts_np[g], w[g])
+        tile = (y0[g] + q) * tiles_x + (x0[g] + r)
+        ref[j] = (int(tile) << gid_bits) | g
+    np.testing.assert_array_equal(keys.astype(np.int64), ref)
+
+    # the tight window reproduces identical keys
+    tight = max(-(-int(needed) // 16) * 16, 16)
+    keys2, needed2 = pair_expand.expand_keys(
+        jnp.asarray(starts, jnp.int32), jnp.asarray(x0),
+        jnp.asarray(y0), jnp.asarray(w), jnp.asarray(active),
+        jnp.int32(total), n, gid_bits, tiles_x, pair_budget,
+        window=tight, interpret=True)
+    assert int(needed2) == int(needed) <= tight
+    np.testing.assert_array_equal(np.asarray(keys2), keys)

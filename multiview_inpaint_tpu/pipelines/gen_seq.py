@@ -37,17 +37,23 @@ from . import common
 def render_sequence(views, params, box, out_dir, bg, sh_degree=0,
                     max_per_tile=1024, pair_budget_mult=8,
                     save_poses=True, use_image_name=True,
-                    backend="xla"):
+                    backend="xla", mesh=None):
     os.makedirs(os.path.join(out_dir, "renders"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "mask"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "masked"), exist_ok=True)
     poses = []
-    # One batched (vmapped) render for the whole orbit — all views share
-    # the 512x384 size, so the per-view stage overheads amortize.
-    outs = render_views(params, views, bg, sh_degree=sh_degree,
-                        max_per_tile=max_per_tile,
-                        pair_budget=pair_budget_mult * params.capacity,
-                        backend=backend)
+    kw = dict(sh_degree=sh_degree, max_per_tile=max_per_tile,
+              pair_budget=pair_budget_mult * params.capacity,
+              backend=backend)
+    if mesh is not None and mesh.devices.size > 1:
+        # Orbit views shard over the mesh's data axis (params
+        # replicated, no collectives) — see parallel/render_parallel.
+        from ..parallel.render_parallel import render_views_sharded
+        outs = render_views_sharded(params, views, bg, mesh, **kw)
+    else:
+        # Per-view dispatch loop on one device — all views share the
+        # same size, so the compiled program is reused.
+        outs = render_views(params, views, bg, **kw)
     for idx, view in enumerate(views):
         v_id = view.image_name if use_image_name else f"{idx:02d}"
         poses.append(view.camera_to_world)
@@ -89,6 +95,9 @@ def main(argv=None):
                         help="render the coarse SDS model sequence "
                              "(reads output_sds, writes inpaint_sds)")
     parser.add_argument("--max_per_tile", type=int, default=1024)
+    parser.add_argument("--shard_views", action="store_true",
+                        help="shard orbit views over all devices "
+                             "(data-axis mesh, params replicated)")
     common.add_backend_arg(parser)
     common.add_orbit_args(parser)
     args = parser.parse_args(argv)
@@ -107,6 +116,13 @@ def main(argv=None):
     box = obb_mod.load_obb(ws.bds_add(args.scene_id))
     bg = common.default_background(args.white_background)
     backend = common.resolve_backend(args.backend)
+    mesh = None
+    if args.shard_views:
+        import jax
+
+        from ..parallel import make_mesh
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
     front = scene.front_view()
 
     seq_root = "inpaint_sds" if args.sds else "inpaint"
@@ -122,7 +138,7 @@ def main(argv=None):
         render_sequence(views, scene.gaussians, box, out_dir, bg,
                         sh_degree=args.sh_degree,
                         max_per_tile=args.max_per_tile,
-                        use_image_name=True, backend=backend)
+                        use_image_name=True, backend=backend, mesh=mesh)
         print(f"mode {mode}: {len(views)} frames -> {out_dir}")
 
     if not args.sds:
@@ -132,7 +148,7 @@ def main(argv=None):
         render_sequence(scene.train_cameras(), scene.gaussians, box,
                         out_dir, bg, sh_degree=args.sh_degree,
                         max_per_tile=args.max_per_tile, save_poses=False,
-                        use_image_name=True, backend=backend)
+                        use_image_name=True, backend=backend, mesh=mesh)
         print(f"bds_train masks -> {out_dir}")
 
 

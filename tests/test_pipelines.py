@@ -165,3 +165,37 @@ def test_adaptive_pair_budget_growth(workspace, tmp_path, capsys):
     assert pairs and all(p > 0 for p in pairs)
     # the toy scene's ~650 pairs exceed 0.85 * 1 * 300 capacity -> growth
     assert "pair budget ->" in capsys.readouterr().out
+
+
+def test_gen_seq_cli_shard_views(workspace, tmp_path):
+    """--shard_views: orbit views sharded over the 8 virtual devices
+    must produce byte-identical renders/masks to the sequential run."""
+    ws_root = workspace["root"]
+    box_path = os.path.join(ws_root, "bds", "add", "toy_case.obj")
+    fixtures.write_cube_obj(box_path, center=(0.2, 0.1, 0), half=0.3)
+    base = ["-s", workspace["src"], "-m", workspace["model"],
+            "--scene_id", "toy_case", "--resolution", "1",
+            "--iteration", "60", "--frames", "4",
+            "--max_per_tile", "256", "--allow_default_orbit",
+            "--modes", "x1"]
+    ws_seq = os.path.join(str(tmp_path), "seq_ws")
+    ws_shard = os.path.join(str(tmp_path), "shard_ws")
+    for w in (ws_seq, ws_shard):
+        os.makedirs(os.path.join(w, "bds", "add"), exist_ok=True)
+        fixtures.write_cube_obj(
+            os.path.join(w, "bds", "add", "toy_case.obj"),
+            center=(0.2, 0.1, 0), half=0.3)
+    gen_seq.main(base + ["--workspace", ws_seq])
+    gen_seq.main(base + ["--workspace", ws_shard, "--shard_views"])
+    from multiview_inpaint_tpu.gs import scene_io
+    for sub in ("renders", "mask"):
+        d_a = os.path.join(ws_seq, "inpaint", "seq", "toy_case", "x1",
+                           "ours_60", sub)
+        d_b = os.path.join(ws_shard, "inpaint", "seq", "toy_case", "x1",
+                           "ours_60", sub)
+        names = sorted(os.listdir(d_a))
+        assert names == sorted(os.listdir(d_b)) and len(names) == 4
+        for f in names:
+            a = scene_io.load_image(os.path.join(d_a, f))
+            b = scene_io.load_image(os.path.join(d_b, f))
+            np.testing.assert_array_equal(a, b)

@@ -485,3 +485,36 @@ def test_expand_keys_block_boundary_exactness():
         window=tight, interpret=True)
     assert int(needed2) == int(needed) <= tight
     np.testing.assert_array_equal(np.asarray(keys2), keys)
+
+
+def test_render_views_sharded_matches_sequential():
+    """Orbit rendering sharded over the virtual 8-device mesh (views on
+    the data axis, params replicated) must match the single-device
+    per-view loop — including the pad-and-discard path (5 views on 8
+    devices)."""
+    from multiview_inpaint_tpu.parallel import make_mesh
+    from multiview_inpaint_tpu.parallel.render_parallel import (
+        render_views_sharded)
+
+    rng = np.random.default_rng(11)
+    n = 40
+    p = _make_params(rng.normal(0, 0.6, (n, 3)),
+                     rng.random((n, 3)),
+                     rng.uniform(0.3, 0.9, (n, 1)),
+                     rng.uniform(0.05, 0.2, (n, 3)))
+    cams = [cameras.make_camera(i, np.eye(3),
+                                np.array([0.1 * i, 0.0, 4.0 + 0.2 * i]),
+                                fovx=0.8, fovy=0.8, width=64, height=48)
+            for i in range(5)]
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+    kw = dict(max_per_tile=64, pair_budget=8 * n)
+    seq = rasterizer.render_views(p, cams, bg, **kw)
+    mesh = make_mesh(8)
+    out = render_views_sharded(p, cams, bg, mesh, **kw)
+    assert out.rgb.shape == (5, 48, 64, 3)
+    np.testing.assert_allclose(np.asarray(out.rgb),
+                               np.asarray(seq.rgb), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.depth),
+                               np.asarray(seq.depth), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.pairs),
+                                  np.asarray(seq.pairs))

@@ -35,36 +35,38 @@ from . import (binning, composite, geometry, pallas_backward,
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _pallas_composite_diff(tiles_x, tiles_y, tile_h, tile_w, interpret,
-                           attrs_t, seg_start_f, counts_f):
+                           attrs_t, seg_start_f, counts_f, row0_f):
     """Differentiable fused compositing: forward = pallas kernel
     emitting RAW tiles (bg-free accumulators + final T; the caller
     composites the background in XLA, whose autodiff supplies the
     bg/depth-sentinel terms of the row-4 cotangent), backward = pallas
-    backward kernel producing pair-space attr grads (segment ints ride
-    as f32 across the custom_vjp boundary)."""
+    backward kernel producing pair-space attr grads (segment ints and
+    the band row offset ride as f32 across the custom_vjp boundary)."""
     zero_bg = jnp.zeros((3,), jnp.float32)
     return pallas_composite.composite_pallas(
         attrs_t, seg_start_f.astype(jnp.int32), counts_f.astype(jnp.int32),
-        zero_bg, tiles_x, tiles_y, tile_h, tile_w, interpret=interpret)
+        zero_bg, tiles_x, tiles_y, tile_h, tile_w, interpret=interpret,
+        row0=row0_f.astype(jnp.int32))
 
 
 def _pcd_fwd(tiles_x, tiles_y, tile_h, tile_w, interpret, attrs_t,
-             seg_start_f, counts_f):
+             seg_start_f, counts_f, row0_f):
     tiles8 = _pallas_composite_diff(tiles_x, tiles_y, tile_h, tile_w,
                                     interpret, attrs_t, seg_start_f,
-                                    counts_f)
-    return tiles8, (attrs_t, seg_start_f, counts_f, tiles8)
+                                    counts_f, row0_f)
+    return tiles8, (attrs_t, seg_start_f, counts_f, row0_f, tiles8)
 
 
 def _pcd_bwd(tiles_x, tiles_y, tile_h, tile_w, interpret, res, g):
-    attrs_t, seg_start_f, counts_f, tiles8 = res
+    attrs_t, seg_start_f, counts_f, row0_f, tiles8 = res
     zero_bg = jnp.zeros((3,), jnp.float32)
     d_attrs = pallas_backward.composite_pallas_bwd(
         attrs_t, seg_start_f.astype(jnp.int32),
         counts_f.astype(jnp.int32), zero_bg, tiles8, g, tiles_x, tiles_y,
-        tile_h, tile_w, interpret=interpret)
+        tile_h, tile_w, interpret=interpret,
+        row0=row0_f.astype(jnp.int32))
     return (d_attrs, jnp.zeros_like(seg_start_f),
-            jnp.zeros_like(counts_f))
+            jnp.zeros_like(counts_f), jnp.zeros_like(row0_f))
 
 
 _pallas_composite_diff.defvjp(_pcd_fwd, _pcd_bwd)
@@ -137,7 +139,8 @@ def _assemble(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile_w: int,
 
 @partial(jax.jit, static_argnames=("sh_degree", "tile", "pair_budget",
                                    "max_per_tile", "chunk", "backend",
-                                   "interpret", "expand_window"))
+                                   "interpret", "expand_window",
+                                   "band_rows"))
 def render(params: GaussianParams, camera: RenderCamera,
            bg_color: jnp.ndarray, sh_degree: int = 0,
            scaling_modifier: float = 1.0,
@@ -147,7 +150,9 @@ def render(params: GaussianParams, camera: RenderCamera,
            max_per_tile: int = 1024,
            chunk: int = 128, backend: str = "xla",
            interpret: bool = False,
-           expand_window: int = 0) -> RenderOutput:
+           expand_window: int = 0,
+           band_rows: Optional[int] = None,
+           band_row0: Optional[jnp.ndarray] = None) -> RenderOutput:
     """Render one view.
 
     ``backend``: "xla" (default) or "pallas" (fused TPU kernels with
@@ -155,11 +160,35 @@ def render(params: GaussianParams, camera: RenderCamera,
     uses a custom VJP whose backward is a second fused kernel emitting
     pair-space attribute gradients (reduced to gaussians by the gather's
     own VJP).
+
+    Band mode (single-frame multi-chip sharding, see
+    ``parallel.render_parallel.render_frame_sharded``): ``band_rows``
+    (static) renders only that many tile rows starting at global tile
+    row ``band_row0`` (traced int32 scalar — one executable serves every
+    band). Projection stays full-frame; binning intersects rects with
+    the band in integer space; the composite kernels shift their tile
+    origin by the offset. Per-tile splat COVERAGE AND ORDER are exactly
+    the full frame's; on the xla backend band pixels are BIT-IDENTICAL
+    to the corresponding full-frame rows, while the pallas backend
+    regroups each segment at different 128-lane chunk boundaries (the
+    segment's pair offset is band-local), shifting f32 accumulation
+    order by ≲2e-6 — well inside its cross-backend tolerance. Output
+    images have ``band_rows*tile_h`` rows (no bottom crop — the caller
+    stitches bands then crops to the frame height).
     """
     n = params.capacity
     tile_h, tile_w = tile
     tiles_x = -(-camera.width // tile_w)
-    tiles_y = -(-camera.height // tile_h)
+    tiles_y_total = -(-camera.height // tile_h)
+    if band_rows is not None:
+        tiles_y = band_rows
+        row0 = (jnp.zeros((), jnp.int32) if band_row0 is None
+                else jnp.asarray(band_row0, jnp.int32))
+        out_h = band_rows * tile_h
+    else:
+        tiles_y = tiles_y_total
+        row0 = None
+        out_h = camera.height
     if pair_budget is None:
         pair_budget = 8 * n
     if backend == "pallas":
@@ -197,7 +226,8 @@ def render(params: GaussianParams, camera: RenderCamera,
                        else 0),
         extent=jax.lax.stop_gradient(proj.extent),
         expand_kernel=(backend == "pallas"), interpret=interpret,
-        expand_window=expand_window)
+        expand_window=expand_window,
+        tile_row0=row0, tiles_y_total=tiles_y_total)
 
     if backend == "pallas":
         if (tile_h * tile_w) % 128 != 0:
@@ -221,10 +251,12 @@ def render(params: GaussianParams, camera: RenderCamera,
             packed_s = jnp.concatenate(
                 [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)])
             attrs_t = packed_s[bins.gid_sorted].T
+        row0_f = (jnp.zeros((), jnp.float32) if row0 is None
+                  else row0.astype(jnp.float32))
         tiles8 = _pallas_composite_diff(
             tiles_x, tiles_y, tile_h, tile_w, interpret, attrs_t,
             bins.seg_start.astype(jnp.float32),
-            bins.counts.astype(jnp.float32))
+            bins.counts.astype(jnp.float32), row0_f)
         # Background composite over the dense raw tiles (bg-free
         # accumulators + final T) — in XLA, where it is a fused
         # full-width pass and autodiff covers d_bg. rgb rides as three
@@ -239,12 +271,12 @@ def render(params: GaussianParams, camera: RenderCamera,
         tile_alpha = 1.0 - t_fin
         rgb = jnp.stack(
             [_assemble(ch, tiles_x, tiles_y, tile_w, tile_h,
-                       camera.width, camera.height)
+                       camera.width, out_h)
              for ch in tile_chan], axis=-1)
         depth = _assemble(tile_depth, tiles_x, tiles_y, tile_w, tile_h,
-                          camera.width, camera.height)
+                          camera.width, out_h)
         alpha = _assemble(tile_alpha, tiles_x, tiles_y, tile_w, tile_h,
-                          camera.width, camera.height)
+                          camera.width, out_h)
         return RenderOutput(rgb=rgb, depth=depth, alpha=alpha,
                             radii=proj.radius,
                             visibility=proj.radius > 0,
@@ -253,17 +285,24 @@ def render(params: GaussianParams, camera: RenderCamera,
                             expand_needed=bins.expand_needed)
     else:
         pix = _tile_pixel_coords(tiles_x, tiles_y, tile_w, tile_h)
+        if row0 is not None:
+            # Shift tile-local pixel rows into global frame coordinates
+            # (exact: integer-valued f32 < 2^24) so dx/dy bit-match the
+            # full-frame path.
+            pix = pix + jnp.stack(
+                [jnp.zeros((), jnp.float32),
+                 (row0 * tile_h).astype(jnp.float32)])
         out = composite.composite_tiles(
             bins.ids, bins.valid, pix, proj.means2d, proj.conic,
             proj.color, proj.depth, proj.opacity,
             jnp.asarray(bg_color, jnp.float32), chunk=chunk)
 
     rgb = _assemble(out.rgb, tiles_x, tiles_y, tile_w, tile_h,
-                    camera.width, camera.height)
+                    camera.width, out_h)
     depth = _assemble(out.depth, tiles_x, tiles_y, tile_w, tile_h,
-                      camera.width, camera.height)
+                      camera.width, out_h)
     alpha = _assemble(out.alpha, tiles_x, tiles_y, tile_w, tile_h,
-                      camera.width, camera.height)
+                      camera.width, out_h)
     return RenderOutput(rgb=rgb, depth=depth, alpha=alpha,
                         radii=proj.radius, visibility=proj.radius > 0,
                         pairs=bins.total_pairs, pad_pairs=bins.pad_pairs,

@@ -132,16 +132,26 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   expand_kernel: bool = False,
                   interpret: bool = False,
                   aux: jnp.ndarray | None = None,
-                  expand_window: int = 0) -> TileBins:
+                  expand_window: int = 0,
+                  tile_row0: jnp.ndarray | None = None,
+                  tiles_y_total: int | None = None) -> TileBins:
     """``aligned_chunk`` > 0 selects the Pallas segment layout. With
     packed keys the layout is UNALIGNED (no padding pairs at all — the
     kernels DMA from the 128-aligned enclosing window and mask lanes);
     ``gid_sorted`` has length pair_budget with sentinel id = N past the
     true total (callers pad the attribute table with one zero row).
     The generic non-packed fallback still materializes an aligned
-    relayout."""
+    relayout.
+
+    Band mode (multi-chip single-frame sharding): ``tile_row0`` (traced
+    int32 scalar) selects a horizontal band of ``tiles_y`` tile rows
+    starting at global row ``tile_row0`` of a ``tiles_y_total``-row
+    frame. Rects are computed in GLOBAL tile coordinates and intersected
+    with the band in integer space, so a band's per-tile pair lists are
+    exactly the full frame's (bit-identical compositing)."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
+    ty_clip = tiles_y if tiles_y_total is None else tiles_y_total
 
     # Per-axis half-extents (3-sigma ellipse AABB) when provided —
     # tighter rects than the CUDA reference's circumscribed circle.
@@ -160,13 +170,21 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     # floor(max_coord). (Found by the 8x16-vs-16x16 tiling-invariance
     # test; the CUDA reference has the same sub-pixel clip.)
     x0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile_w), 0, tiles_x)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_h), 0, tiles_y)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_h), 0, ty_clip)
     x1 = jnp.clip(jnp.floor((means2d[:, 0] + rx) / tile_w) + 1,
                   0, tiles_x)
     y1 = jnp.clip(jnp.floor((means2d[:, 1] + ry) / tile_h) + 1,
-                  0, tiles_y)
+                  0, ty_clip)
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
+    y1 = y1.astype(jnp.int32)
+    if tile_row0 is not None:
+        # Intersect the global rect rows with the band [row0, row0+TY):
+        # integer arithmetic, so band-tile pair sets match the full frame
+        # exactly. Downstream (keys, histogram) works in band-local rows.
+        row0 = jnp.asarray(tile_row0, jnp.int32)
+        y0 = jnp.clip(y0 - row0, 0, tiles_y)
+        y1 = jnp.clip(y1 - row0, 0, tiles_y)
     rect_w = (x1 - x0).astype(jnp.int32)
     rect_h = (y1 - y0).astype(jnp.int32)
     count = jnp.where(radius > 0, rect_w * rect_h, 0)

@@ -52,8 +52,8 @@ from .pallas_composite import (CHUNK, NROWS, PIX, TILE_H, TILE_W,
 
 
 def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
-                counts_ref, attrs_ref, g_ref, out8_ref, bg_ref, gout_ref,
-                scratch, gscratch, carry, sems, gsem):
+                counts_ref, row0_ref, attrs_ref, g_ref, out8_ref, bg_ref,
+                gout_ref, scratch, gscratch, carry, sems, gsem):
     pix = tile_h * tile_w
     t = pl.program_id(0)
     txg = pl.program_id(1)
@@ -92,7 +92,9 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
     def one_tile(g_idx, _):
         tx = txg * group + g_idx
         ox = (tx * tile_w).astype(jnp.float32)
-        oy = (t * tile_h).astype(jnp.float32)
+        # Band mode: global tile-row offset (bit-matches the forward
+        # kernel's oy; 0 for whole frames).
+        oy = ((t + row0_ref[0]) * tile_h).astype(jnp.float32)
 
         row = t * tiles_x + tx
         start = win_base(row)
@@ -361,12 +363,14 @@ def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                          tiles_x: int, tiles_y: int, tile_h: int = TILE_H,
                          tile_w: int = TILE_W,
                          interpret: bool = False,
-                         early_exit: bool = False) -> jnp.ndarray:
+                         early_exit: bool = False,
+                         row0: jnp.ndarray | None = None) -> jnp.ndarray:
     """Returns d(attrs_t) [NROWS, P_aligned].
 
     tiles8 / g_tiles8: forward outputs and their upstream grads,
     [num_tiles, 8, PIX] (rows 0-2 rgb, 3 depth, 4 final-T / alpha grads —
     caller converts d(alpha_out) into row 4 with the proper sign).
+    ``row0``: global tile-row offset (band mode; see composite_pallas).
     """
     pix = tile_h * tile_w
     num_tiles = tiles_x * tiles_y
@@ -375,8 +379,10 @@ def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
     bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
     t8 = tiles8.reshape(tiles_y, tiles_x, 8, pix)
     g8 = g_tiles8.reshape(tiles_y, tiles_x, 8, pix)
+    row0_arr = (jnp.zeros((1,), jnp.int32) if row0 is None
+                else jnp.asarray(row0, jnp.int32).reshape(1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(tiles_y, tiles_x // group),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # attrs (HBM)
@@ -406,6 +412,6 @@ def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
         interpret=interpret,
         input_output_aliases={},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), attrs_t,
-      g8, t8, bg)
+    )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), row0_arr,
+      attrs_t, g8, t8, bg)
     return grads

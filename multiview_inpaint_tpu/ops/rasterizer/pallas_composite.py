@@ -73,8 +73,8 @@ def _lane_cumsum(x, exclusive: bool = False):
 
 
 def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
-            starts_ref, counts_ref, attrs_ref, bg_ref, out_ref, scratch,
-            sems):
+            starts_ref, counts_ref, row0_ref, attrs_ref, bg_ref, out_ref,
+            scratch, sems):
     pix = tile_h * tile_w
     t = pl.program_id(0)
     txg = pl.program_id(1)
@@ -122,7 +122,10 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
         # global pixel columns (narrow values occupy 32 lane-padded
         # vregs, so those two adds cost ~64 vreg-ops per tile).
         ox = (tx * tile_w).astype(jnp.float32)
-        oy = (t * tile_h).astype(jnp.float32)
+        # Band mode (single-frame multi-chip sharding): row0 shifts this
+        # program's tile row into GLOBAL frame coordinates, so dy below
+        # bit-matches the full-frame kernel. row0 == 0 for whole frames.
+        oy = ((t + row0_ref[0]) * tile_h).astype(jnp.float32)
 
         row = t * tiles_x + tx
         start = win_base(row)
@@ -289,10 +292,17 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                      counts: jnp.ndarray, bg_color: jnp.ndarray,
                      tiles_x: int, tiles_y: int, tile_h: int = TILE_H,
                      tile_w: int = TILE_W, interpret: bool = False,
-                     early_exit: bool = False, group: int = 0):
+                     early_exit: bool = False, group: int = 0,
+                     row0: jnp.ndarray | None = None):
     """attrs_t [NROWS, P] pair-sorted packed attrs; returns RAW
     [T, 8, pix] tiles (rows 0-3 = bg-free rgb+depth accumulators, row 4
     = final transmittance): callers composite the background in XLA.
+
+    ``row0`` (traced int32 scalar, default 0): global tile-row offset of
+    this call's first tile row — band mode for single-frame multi-chip
+    sharding. The splat means stay in global pixel coordinates; the
+    kernel shifts its per-tile origin so band output rows bit-match the
+    full-frame render.
 
     ``early_exit`` enables the per-tile saturation break in the chunk
     loop. The OUTPUT is identical either way (the in-body contrib gate
@@ -312,8 +322,10 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
     assert tiles_x % group == 0, "group must divide tiles_x"
     bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
     bg = bg.at[3, 0].set(DEPTH_EMPTY)
+    row0_arr = (jnp.zeros((1,), jnp.int32) if row0 is None
+                else jnp.asarray(row0, jnp.int32).reshape(1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(tiles_y, tiles_x // group),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # attrs stay in HBM
@@ -339,7 +351,8 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
             bytes_accessed=int(attrs_t.size) * 4 + num_tiles * pix * 32,
             transcendentals=int(num_tiles) * pix * CHUNK * 2,
         ),
-    )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), attrs_t, bg)
+    )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), row0_arr,
+      attrs_t, bg)
     return out.reshape(num_tiles, 8, pix)
 
 

@@ -1,20 +1,28 @@
-"""Multi-chip orbit rendering: views sharded over the data mesh.
+"""Multi-chip rendering: orbit views or single-frame bands over a mesh.
 
-The stage-1/stage-2 pipelines render whole orbit sequences (14+ views
-of one scene: ``gen_seq.py``, reference ``gs-simp/gen_seq.py``). On one
-chip ``rasterizer.render_views`` dispatches the per-view jit back to
-back; across chips the orbit is embarrassingly parallel — parameters
-replicate, views shard. This module does exactly that with
-``shard_map`` over the mesh's ``data`` axis: each device runs the SAME
-single-view render graph (pallas kernels included) over its local view
-slice, and no collectives are needed at all — XLA only inserts the
-final all-gather implied by the output sharding when the caller
-consumes the stacked result.
+Two shardings, both over the mesh's ``data`` axis with parameters
+replicated and ZERO collectives (XLA only inserts the all-gather
+implied by the output sharding when the caller consumes the result):
 
-The view count pads up to a multiple of the mesh size by repeating the
-last camera (the pad renders are discarded after unsharding) — static
-shapes everywhere, one compile for any orbit length with the same
-per-device view count.
+- ``render_views_sharded`` — the stage-1/stage-2 pipelines render whole
+  orbit sequences (14+ views of one scene: ``gen_seq.py``, reference
+  ``gs-simp/gen_seq.py``). On one chip ``rasterizer.render_views``
+  dispatches the per-view jit back to back; across chips the orbit is
+  embarrassingly parallel: views shard, each device runs the SAME
+  single-view render graph (pallas kernels included) over its local
+  slice. The view count pads up to a mesh multiple by repeating the
+  last camera (pad renders discarded after unsharding) — static shapes,
+  one compile for any orbit length with the same per-device count.
+
+- ``render_frame_sharded`` — ONE frame's tile rows shard into
+  horizontal bands (latency scaling for large frames, e.g. 1080p live
+  view). Every device projects the full scene (N-proportional work
+  replicates — it is ~1 ms of the 19 ms 1080p frame) and then bins,
+  sorts, gathers and composites only its band (the pair-proportional
+  ~16 ms, which is what shrinks /D). Band pixels are BIT-IDENTICAL to
+  the full-frame render: rects are intersected with the band in integer
+  tile space and the composite kernels shift their tile origin to
+  global coordinates (``render(band_rows=, band_row0=)``).
 """
 
 from __future__ import annotations
@@ -76,3 +84,50 @@ def render_views_sharded(params, cameras, bg_color, mesh: Mesh,
     if pad:
         out = jax.tree_util.tree_map(lambda x: x[:n_views], out)
     return out
+
+
+def render_frame_sharded(params, camera, bg_color, mesh: Mesh,
+                         axis: str = "data", **kwargs):
+    """Render ONE view with its tile rows sharded into horizontal bands
+    over ``mesh[axis]`` (params replicated, no collectives). Returns the
+    same ``RenderOutput`` as single-device ``render`` — rgb/depth/alpha
+    are the stitched bands (bit-identical pixels), radii/visibility come
+    from band 0 (projection is replicated, so every band computes the
+    same values), ``pairs`` is the summed true pair count (every
+    gaussian-tile pair lives in exactly one band, so the sum equals the
+    full-frame total) and ``expand_needed`` the per-band max.
+
+    ``pair_budget``/``max_per_tile`` apply PER BAND: a band holds ~1/D
+    of the frame's pairs, so the per-band budget can shrink accordingly
+    (keep slack for uneven vertical splat distributions)."""
+    cam = (camera if isinstance(camera, RenderCamera)
+           else RenderCamera.from_camera(camera))
+    tile_h = kwargs.get("tile", (16, 16))[0]
+    n_dev = mesh.shape[axis]
+    tiles_y = -(-cam.height // tile_h)
+    band_rows = -(-tiles_y // n_dev)
+    row0s = jnp.arange(n_dev, dtype=jnp.int32) * band_rows
+
+    def shard_fn(params, bg, row0):
+        out = render(params, cam, bg, band_rows=band_rows,
+                     band_row0=row0[0], **kwargs)
+        return jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], out)
+
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(), P(), P(axis)),
+        out_specs=P(axis), check_vma=False))
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+    params_r = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, rep), params)
+    bg = jax.device_put(jnp.asarray(bg_color, jnp.float32), rep)
+    out = fn(params_r, bg, jax.device_put(row0s, shard))
+
+    h, w = cam.height, cam.width
+    return out._replace(
+        rgb=out.rgb.reshape(-1, w, 3)[:h],
+        depth=out.depth.reshape(-1, w)[:h],
+        alpha=out.alpha.reshape(-1, w)[:h],
+        radii=out.radii[0], visibility=out.visibility[0],
+        pairs=out.pairs.sum(), pad_pairs=out.pad_pairs.sum(),
+        expand_needed=out.expand_needed.max())

@@ -518,3 +518,129 @@ def test_render_views_sharded_matches_sequential():
                                np.asarray(seq.depth), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out.pairs),
                                   np.asarray(seq.pairs))
+
+
+def test_band_render_matches_full_frame_slices():
+    """Band mode (band_rows/band_row0) must reproduce the corresponding
+    full-frame rows: BIT-identically on the xla backend (rects intersect
+    the band in integer tile space; the composite gets global pixel
+    coords), and to ≲2e-6 on pallas (identical coverage and order, but
+    band-local segment offsets regroup chunks at different 128-lane
+    boundaries — f32 accumulation order shifts). Height 56 exercises
+    the sub-tile bottom crop (the last band keeps its padding rows)."""
+    rng = np.random.default_rng(7)
+    n = 80
+    p = _make_params(rng.normal(0, 0.7, (n, 3)),
+                     rng.random((n, 3)),
+                     rng.uniform(0.3, 0.95, (n, 1)),
+                     rng.uniform(0.05, 0.25, (n, 3)))
+    cam = cameras.make_camera(0, np.eye(3), np.array([0.0, 0.0, 4.0]),
+                              fovx=0.9, fovy=0.8, width=64, height=56)
+    rc = RenderCamera.from_camera(cam)
+    bg = jnp.asarray([0.15, 0.3, 0.45])
+    kw = dict(max_per_tile=64, pair_budget=8 * p.capacity)
+    for backend, interp in (("xla", False), ("pallas", True)):
+        full = rasterizer.render(p, rc, bg, backend=backend,
+                                 interpret=interp, **kw)
+        for r0, rows in ((0, 2), (1, 2), (2, 2), (3, 1)):
+            band = rasterizer.render(p, rc, bg, backend=backend,
+                                     interpret=interp, band_rows=rows,
+                                     band_row0=jnp.int32(r0), **kw)
+            lo, hi = r0 * 16, min((r0 + rows) * 16, 56)
+            if backend == "xla":
+                np.testing.assert_array_equal(
+                    np.asarray(band.rgb)[:hi - lo],
+                    np.asarray(full.rgb)[lo:hi])
+                np.testing.assert_array_equal(
+                    np.asarray(band.depth)[:hi - lo],
+                    np.asarray(full.depth)[lo:hi])
+                np.testing.assert_array_equal(
+                    np.asarray(band.alpha)[:hi - lo],
+                    np.asarray(full.alpha)[lo:hi])
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(band.rgb)[:hi - lo],
+                    np.asarray(full.rgb)[lo:hi], atol=4e-6)
+                np.testing.assert_allclose(
+                    np.asarray(band.depth)[:hi - lo],
+                    np.asarray(full.depth)[lo:hi], atol=4e-5)
+                np.testing.assert_allclose(
+                    np.asarray(band.alpha)[:hi - lo],
+                    np.asarray(full.alpha)[lo:hi], atol=4e-6)
+
+
+def test_band_render_gradients_match_full_frame():
+    """d/dparams of a loss over band pixels == the same loss computed on
+    the full frame's matching rows — both backends (pallas backward
+    kernel gets the band row offset through the custom VJP)."""
+    rng = np.random.default_rng(13)
+    n = 40
+    p = _make_params(rng.normal(0, 0.6, (n, 3)),
+                     rng.random((n, 3)),
+                     rng.uniform(0.3, 0.9, (n, 1)),
+                     rng.uniform(0.08, 0.2, (n, 3)))
+    cam = cameras.make_camera(0, np.eye(3), np.array([0.0, 0.0, 4.0]),
+                              fovx=0.8, fovy=0.8, width=32, height=64)
+    rc = RenderCamera.from_camera(cam)
+    bg = jnp.zeros(3)
+    kw = dict(max_per_tile=64, pair_budget=8 * p.capacity)
+    import dataclasses
+
+    r0, rows = 1, 2
+    lo, hi = r0 * 16, (r0 + rows) * 16
+    tgt = jnp.asarray(rng.random((hi - lo, 32, 3)), jnp.float32)
+
+    for backend, interp in (("xla", False), ("pallas", True)):
+        def loss_full(xyz):
+            out = rasterizer.render(dataclasses.replace(p, xyz=xyz), rc, bg,
+                                    backend=backend, interpret=interp,
+                                    **kw)
+            return jnp.sum((out.rgb[lo:hi] - tgt) ** 2)
+
+        def loss_band(xyz):
+            out = rasterizer.render(dataclasses.replace(p, xyz=xyz), rc, bg,
+                                    backend=backend, interpret=interp,
+                                    band_rows=rows,
+                                    band_row0=jnp.int32(r0), **kw)
+            return jnp.sum((out.rgb - tgt) ** 2)
+
+        g_full = jax.grad(loss_full)(p.xyz)
+        g_band = jax.grad(loss_band)(p.xyz)
+        # pallas band grads carry the same chunk-regrouping noise as its
+        # forward (see test above); xla band grads are exact.
+        np.testing.assert_allclose(np.asarray(g_band),
+                                   np.asarray(g_full),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_render_frame_sharded_matches_single_device():
+    """One frame's tile rows sharded into bands over the virtual 8-mesh
+    must match the single-device render (pixels to XLA recompilation
+    noise, pair count exactly)."""
+    from multiview_inpaint_tpu.parallel import make_mesh
+    from multiview_inpaint_tpu.parallel.render_parallel import (
+        render_frame_sharded)
+
+    rng = np.random.default_rng(23)
+    n = 60
+    p = _make_params(rng.normal(0, 0.7, (n, 3)),
+                     rng.random((n, 3)),
+                     rng.uniform(0.3, 0.95, (n, 1)),
+                     rng.uniform(0.05, 0.25, (n, 3)))
+    cam = cameras.make_camera(0, np.eye(3), np.array([0.0, 0.0, 4.0]),
+                              fovx=0.9, fovy=0.8, width=64, height=56)
+    rc = RenderCamera.from_camera(cam)
+    bg = jnp.asarray([0.15, 0.3, 0.45])
+    kw = dict(max_per_tile=64, pair_budget=8 * p.capacity)
+    full = rasterizer.render(p, rc, bg, **kw)
+    sh = render_frame_sharded(p, rc, bg, make_mesh(8), **kw)
+    assert sh.rgb.shape == full.rgb.shape == (56, 64, 3)
+    np.testing.assert_allclose(np.asarray(sh.rgb), np.asarray(full.rgb),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sh.depth),
+                               np.asarray(full.depth), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sh.alpha),
+                               np.asarray(full.alpha), atol=2e-6)
+    assert int(sh.pairs) == int(full.pairs)
+    np.testing.assert_array_equal(np.asarray(sh.radii),
+                                  np.asarray(full.radii))

@@ -25,6 +25,8 @@ class Sampler(str, enum.Enum):
     HEUN_EDM = "HeunEDMSampler"
     EULER_ANCESTRAL = "EulerAncestralSampler"
     DPMPP2M = "DPMPP2MSampler"
+    DPMPP2S_ANCESTRAL = "DPMPP2SAncestralSampler"
+    LINEAR_MULTISTEP = "LinearMultistepSampler"
     EULER_EDM_BLENDED = "EulerEDMSampler2"
     EULER_EDM_INVERSION = "EulerEDMSampler3"
 
@@ -113,6 +115,13 @@ class SamplingPipeline:
         if p.sampler == Sampler.DPMPP2M:
             return samplers.dpmpp2m_sample(self.denoise_fn, x, cond, uc,
                                            self.sigmas, guider=self.guider)
+        if p.sampler == Sampler.DPMPP2S_ANCESTRAL:
+            return samplers.dpmpp2s_ancestral_sample(
+                self.denoise_fn, x, cond, uc, self.sigmas,
+                guider=self.guider, key=k2, s_noise=p.s_noise)
+        if p.sampler == Sampler.LINEAR_MULTISTEP:
+            return samplers.lms_sample(self.denoise_fn, x, cond, uc,
+                                       self.sigmas, guider=self.guider)
         if p.sampler == Sampler.EULER_EDM_BLENDED:
             assert z is not None and mask is not None
             return samplers.euler_edm_sample_blended(

@@ -420,3 +420,115 @@ def unipc_sample(denoise_fn, x, cond, uc, sigmas,
     (x, *_), _ = jax.lax.scan(
         step, init, (jnp.arange(n), sigmas[:-1], sigmas[1:]))
     return x
+
+
+def dpmpp2s_ancestral_sample(denoise_fn, x, cond, uc, sigmas,
+                             guider=IdentityGuider(), key=None, eta=1.0,
+                             s_noise=1.0):
+    """DPM-Solver++(2S) ancestral — reference DPMPP2SAncestralSampler
+    (``sgm/modules/diffusionmodules/sampling.py:487-524``): per step an
+    ancestral (sigma_down, sigma_up) split, a midpoint second-order
+    solve in t = -log(sigma) space (two denoiser calls), and noise
+    re-injection. The reference skips the second call when sigma_down
+    == 0 (its final step); under ``lax.scan`` both branches compute and
+    a ``where`` selects the euler fallback — identical results, one
+    traced program."""
+    uc = cond if uc is None else uc
+    x = prepare_x(x, sigmas)
+    b = x.shape[0]
+    key = jax.random.key(0) if key is None else key
+
+    def step(carry, inp):
+        x, k = carry
+        sigma, next_sigma = inp
+        k, sub = jax.random.split(k)
+        sigma_up = jnp.minimum(
+            next_sigma,
+            eta * (next_sigma ** 2 * (sigma ** 2 - next_sigma ** 2)
+                   / jnp.maximum(sigma ** 2, 1e-12)) ** 0.5)
+        sigma_down = jnp.sqrt(jnp.maximum(
+            next_sigma ** 2 - sigma_up ** 2, 0.0))
+        s_vec = jnp.full((b,), sigma, x.dtype)
+        denoised = _guided_denoise(denoise_fn, guider, x, s_vec, cond, uc)
+        d = _to_d(x, s_vec, denoised)
+        x_euler = x + (sigma_down - sigma) * d
+
+        # Midpoint rule in t = -log(sigma): t_mid = t + h/2, so
+        # sigma(t_mid)/sigma(t) = exp(-h/2) etc. (get_mult,
+        # sampling.py:494-500). sigma_down==0 -> h=inf; the clamp keeps
+        # the dead branch finite (its result is discarded by the where).
+        sd = jnp.maximum(sigma_down, 1e-10)
+        h = jnp.log(sigma) - jnp.log(sd)          # t_down - t, positive
+        sigma_mid = jnp.exp(-(-jnp.log(sigma) + 0.5 * h))
+        x2 = jnp.exp(-0.5 * h) * x - jnp.expm1(-0.5 * h) * denoised
+        s2_vec = jnp.full((b,), sigma_mid, x.dtype)
+        denoised2 = _guided_denoise(denoise_fn, guider, x2, s2_vec,
+                                    cond, uc)
+        x_2s = jnp.exp(-h) * x - jnp.expm1(-h) * denoised2
+
+        x = jnp.where(sigma_down > 0, x_2s, x_euler)
+        noise = jax.random.normal(sub, x.shape, x.dtype) * s_noise
+        x = jnp.where(next_sigma > 0, x + noise * sigma_up, x)
+        _emit("dpmpp2s", sigma, x)
+        return (x, k), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key), (sigmas[:-1], sigmas[1:]))
+    return x
+
+
+def _lms_coeff_matrix(sigmas: "np.ndarray", order: int) -> "np.ndarray":
+    """[num_steps, order] Adams-Bashforth coefficients over the sigma
+    grid — reference ``sampling_utils.linear_multistep_coeff`` computes
+    each ∫ of the Lagrange basis polynomial with scipy quad (epsrel
+    1e-4); the integrand is a degree<(order) polynomial, so this
+    integrates it EXACTLY via numpy polynomials instead. Column j pairs
+    with d_{i-j}; columns beyond min(i+1, order) are zero (warm-up)."""
+    import numpy as np
+    from numpy.polynomial import polynomial as npoly
+
+    t = np.asarray(sigmas, np.float64)
+    n = len(t) - 1
+    out = np.zeros((n, order), np.float64)
+    for i in range(n):
+        cur = min(i + 1, order)
+        for j in range(cur):
+            roots = [t[i - k] for k in range(cur) if k != j]
+            denom = np.prod([t[i - j] - t[i - k]
+                             for k in range(cur) if k != j]) or 1.0
+            poly = npoly.polyfromroots(roots) / denom
+            anti = npoly.polyint(poly)
+            out[i, j] = (npoly.polyval(t[i + 1], anti)
+                         - npoly.polyval(t[i], anti))
+    return out
+
+
+def lms_sample(denoise_fn, x, cond, uc, sigmas,
+               guider=IdentityGuider(), order: int = 4):
+    """Linear multistep (Adams-Bashforth over the sigma grid) —
+    reference LinearMultistepSampler (``sampling.py:399-433``). The
+    coefficient table depends only on the (concrete) sigma schedule and
+    is precomputed exactly on the host; the scan carries the last
+    ``order`` derivative estimates in a fixed ring buffer (slot j =
+    d_{i-j}), so one jitted program serves the whole trajectory."""
+    import numpy as np
+
+    uc = cond if uc is None else uc
+    x = prepare_x(x, sigmas)
+    b = x.shape[0]
+    coeffs = jnp.asarray(_lms_coeff_matrix(np.asarray(sigmas), order),
+                         x.dtype)
+
+    def step(carry, inp):
+        x, ds = carry                   # ds: [order, *x.shape]
+        sigma, c = inp
+        s_vec = jnp.full((b,), sigma, x.dtype)
+        denoised = _guided_denoise(denoise_fn, guider, x, s_vec, cond, uc)
+        d = _to_d(x, s_vec, denoised)
+        ds = jnp.concatenate([d[None], ds[:-1]], axis=0)
+        x = x + jnp.tensordot(c, ds, axes=1)
+        _emit("lms", sigma, x)
+        return (x, ds), None
+
+    ds0 = jnp.zeros((order,) + x.shape, x.dtype)
+    (x, _), _ = jax.lax.scan(step, (x, ds0), (sigmas[:-1], coeffs))
+    return x

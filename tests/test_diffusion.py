@@ -431,3 +431,123 @@ def test_sampling_pipeline_api():
     s = np.asarray(build_sigmas(SamplingParams(
         discretization=Discretization.LEGACY_DDPM, steps=10)))
     assert s[-1] == 0 and np.all(np.diff(s[:-1]) < 0)
+
+
+def test_dpmpp2s_ancestral_converges():
+    """Perfect denoiser => ~target; eta=0 makes it deterministic, and
+    the midpoint second-order step must beat euler-ancestral at equal
+    steps on the analytic gaussian ODE."""
+    target = jnp.asarray(np.random.default_rng(8).normal(size=(1, 4, 4, 2)),
+                         jnp.float32)
+
+    def denoise_fn(x, s, c):
+        return jnp.broadcast_to(target, x.shape)
+
+    x0 = jax.random.normal(jax.random.key(8), target.shape)
+    out = samplers.dpmpp2s_ancestral_sample(denoise_fn, x0, {}, None,
+                                            _sigmas(), eta=1.0,
+                                            key=jax.random.key(9))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target),
+                               atol=0.05)
+
+    rng = np.random.default_rng(9)
+    mu = jnp.asarray(rng.normal(size=(1, 6, 6, 3)), jnp.float32)
+    s2, smax = 0.7 ** 2, 20.0
+
+    def gauss_denoise(x, sig, c):
+        sg = sig.reshape(-1, 1, 1, 1) ** 2
+        return (s2 * x + sg * mu) / (s2 + sg)
+
+    sig = jnp.concatenate([edm.edm_sigmas(20, 0.002, smax),
+                           jnp.zeros((1,))])
+    x_start = jax.random.normal(jax.random.key(2), mu.shape)
+    exact = mu + np.sqrt(s2 / (s2 + smax ** 2)) * (
+        x_start * np.sqrt(1.0 + smax ** 2) - mu)
+    e_eul = float(jnp.abs(samplers.euler_ancestral_sample(
+        gauss_denoise, x_start, {}, None, sig, eta=0.0) - exact).max())
+    e_2s = float(jnp.abs(samplers.dpmpp2s_ancestral_sample(
+        gauss_denoise, x_start, {}, None, sig, eta=0.0) - exact).max())
+    assert e_2s < 0.3 * e_eul, (e_2s, e_eul)
+
+
+def test_lms_coeffs_match_reference_quad():
+    """Exact polynomial integration == the reference's scipy quad
+    (sampling_utils.linear_multistep_coeff, epsrel 1e-4)."""
+    from scipy import integrate
+
+    from multiview_inpaint_tpu.diffusion.samplers import _lms_coeff_matrix
+
+    sig = np.asarray(_sigmas(10))
+    order = 4
+    got = _lms_coeff_matrix(sig, order)
+
+    def ref_coeff(order_, t, i, j):
+        def fn(tau):
+            prod = 1.0
+            for k in range(order_):
+                if j == k:
+                    continue
+                prod *= (tau - t[i - k]) / (t[i - j] - t[i - k])
+            return prod
+        return integrate.quad(fn, t[i], t[i + 1], epsrel=1e-4)[0]
+
+    for i in range(len(sig) - 1):
+        cur = min(i + 1, order)
+        for j in range(cur):
+            want = ref_coeff(cur, sig, i, j)
+            assert got[i, j] == pytest.approx(want, rel=1e-4, abs=1e-9)
+        assert np.all(got[i, cur:] == 0)
+
+
+def test_lms_converges_and_beats_euler():
+    target = jnp.asarray(np.random.default_rng(10).normal(size=(1, 4, 4, 2)),
+                         jnp.float32)
+
+    def denoise_fn(x, s, c):
+        return jnp.broadcast_to(target, x.shape)
+
+    x0 = jax.random.normal(jax.random.key(10), target.shape)
+    out = samplers.lms_sample(denoise_fn, x0, {}, None, _sigmas())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target),
+                               atol=0.05)
+
+    rng = np.random.default_rng(11)
+    mu = jnp.asarray(rng.normal(size=(1, 6, 6, 3)), jnp.float32)
+    s2, smax = 0.7 ** 2, 20.0
+
+    def gauss_denoise(x, sig, c):
+        sg = sig.reshape(-1, 1, 1, 1) ** 2
+        return (s2 * x + sg * mu) / (s2 + sg)
+
+    sig = jnp.concatenate([edm.edm_sigmas(20, 0.002, smax),
+                           jnp.zeros((1,))])
+    x_start = jax.random.normal(jax.random.key(2), mu.shape)
+    exact = mu + np.sqrt(s2 / (s2 + smax ** 2)) * (
+        x_start * np.sqrt(1.0 + smax ** 2) - mu)
+    e_eul = float(jnp.abs(samplers.euler_edm_sample(
+        gauss_denoise, x_start, {}, None, sig) - exact).max())
+    e_lms = float(jnp.abs(samplers.lms_sample(
+        gauss_denoise, x_start, {}, None, sig) - exact).max())
+    assert e_lms < 0.3 * e_eul, (e_lms, e_eul)
+
+
+def test_sampling_api_new_samplers():
+    """The inference API dispatches the two new enum entries."""
+    from multiview_inpaint_tpu.diffusion.api import (Guider, Sampler,
+                                                     SamplingParams,
+                                                     SamplingPipeline)
+
+    target = jnp.asarray(np.random.default_rng(12).normal(size=(1, 4, 4, 2)),
+                         jnp.float32)
+
+    def denoise_fn(x, s, c):
+        return jnp.broadcast_to(target, x.shape)
+
+    for name in (Sampler.DPMPP2S_ANCESTRAL, Sampler.LINEAR_MULTISTEP):
+        pipe = SamplingPipeline(
+            denoise_fn, SamplingParams(sampler=name, steps=12,
+                                       sigma_max=80.0,
+                                       guider=Guider.IDENTITY))
+        out = pipe.sample(jax.random.key(0), target.shape, {})
+        np.testing.assert_allclose(np.asarray(out), np.asarray(target),
+                                   atol=0.08, err_msg=str(name))

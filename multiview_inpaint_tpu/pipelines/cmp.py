@@ -32,6 +32,11 @@ def main(argv=None):
                    help="npz MUSIQ weights (convert torch ckpts with "
                         "metrics.musiq.import_musiq); adds the "
                         "reference's no-reference quality score")
+    p.add_argument("--wadiqam_ckpt", default=None,
+                   help="npz WaDIQaM-NR weights (convert torch ckpts "
+                        "with metrics.wadiqam.import_wadiqam); adds the "
+                        "reference's second no-reference score "
+                        "(metrics.py WADIQMA)")
     args = p.parse_args(argv)
 
     musiq_score = None
@@ -39,6 +44,11 @@ def main(argv=None):
         from ..diffusion.checkpoint import load_params
         from ..metrics.musiq import MUSIQScorer
         musiq_score = MUSIQScorer(load_params(args.musiq_ckpt))
+    wadiqam_score = None
+    if args.wadiqam_ckpt:
+        from ..diffusion.checkpoint import load_params
+        from ..metrics.wadiqam import WaDIQaMScorer
+        wadiqam_score = WaDIQaMScorer(load_params(args.wadiqam_ckpt))
 
     inp_root = os.path.join(args.root, "inpainted")
     src_root = os.path.join(args.root, "src")
@@ -57,6 +67,9 @@ def main(argv=None):
         if musiq_score is not None:
             entry["musiq"] = float(np.mean(
                 [musiq_score(f) for f in frames]))
+        if wadiqam_score is not None:
+            entry["wadiqam"] = float(np.mean(
+                [wadiqam_score(f) for f in frames]))
         sdir = os.path.join(src_root, scene.split("_")[0],
                             f"ours_{args.iteration}", "renders")
         if os.path.isdir(sdir):

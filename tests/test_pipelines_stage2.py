@@ -604,3 +604,51 @@ def test_mask_propagation_consistency():
     inter = float(np.logical_and(prop > 0.5, m1 > 0.5).sum())
     union = float(np.logical_or(prop > 0.5, m1 > 0.5).sum())
     assert inter / union > 0.6, f"IoU {inter / union:.2f}"
+
+
+def test_demo_app_server(tmp_path):
+    """Browser demo (reference streamlit/gradio apps): start the stdlib
+    HTTP server with the tiny model, drive the full request loop —
+    health, the HTML page, and POST an image -> sampled GIF bytes."""
+    import threading
+    import urllib.request
+
+    from PIL import Image as PILImage
+
+    from multiview_inpaint_tpu.pipelines import demo_app
+
+    args = demo_app.build_parser().parse_args(
+        ["--port", "0", "--tiny_model", "--size", "64", "64",
+         "--num_steps", "2", "--num_frames", "2"])
+    srv = demo_app.make_server(args)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        health = json.loads(urllib.request.urlopen(
+            base + "/health", timeout=30).read())
+        assert health["ok"] and health["model"] == "tiny"
+        page = urllib.request.urlopen(base + "/", timeout=30).read()
+        assert b"Image" in page and b"/generate" in page
+
+        img_path = tmp_path / "in.png"
+        PILImage.fromarray(np.random.default_rng(0).integers(
+            0, 255, (64, 64, 3), np.uint8)).save(img_path)
+        req = urllib.request.Request(
+            base + "/generate?num_steps=2&num_frames=2&seed=1",
+            data=img_path.read_bytes(), method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            gif = r.read()
+        assert r.status == 200 and gif[:6] in (b"GIF87a", b"GIF89a")
+
+        # bad request: empty body -> 400, not a crash
+        req = urllib.request.Request(base + "/generate", data=b"",
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()

@@ -139,9 +139,43 @@ def main(argv=None):
     p.add_argument("--fovx", type=float, default=None,
                    help="horizontal fov (radians) of the seq renders")
     p.add_argument("--fovy", type=float, default=None)
+    p.add_argument("--ground", default=None,
+                   help="object name/description: keep only difference "
+                        "components overlapping the CLIP-grounded "
+                        "window per frame (the reference grounds with "
+                        "Grounding-DINO, seg_gs.py:94-117); needs "
+                        "--clip_ckpt")
+    p.add_argument("--clip_ckpt", default=None,
+                   help="npz with 'vision' (+'text') CLIP tower params "
+                        "(weights_io.import_clip_vision/_text)")
+    p.add_argument("--bpe_vocab", default=None,
+                   help="CLIP BPE merges file (for plain-text --ground; "
+                        "an npz text-embedding row in --clip_ckpt "
+                        "['text_features'] works without it)")
+    p.add_argument("--ground_min_overlap", type=float, default=0.05)
     args = p.parse_args(argv)
+    if args.ground and not args.clip_ckpt:
+        raise SystemExit("--ground needs --clip_ckpt")
     if args.propagate and (args.fovx is None or args.fovy is None):
         raise SystemExit("--propagate needs --fovx and --fovy")
+
+    grounder = None
+    text_query = None
+    if args.ground:
+        from ..diffusion.checkpoint import load_params
+        from ..guidance.grounding import CLIPGrounder
+        clip = load_params(args.clip_ckpt)
+        vit_cfg = None
+        if "vit_cfg" in clip:   # non-default tower geometry in the npz
+            from ..diffusion.clip_vit import ViTConfig
+            vit_cfg = ViTConfig(**{k: int(v)
+                                   for k, v in clip["vit_cfg"].items()})
+        grounder = CLIPGrounder(clip["vision"], vit_cfg=vit_cfg,
+                                text_params=clip.get("text"),
+                                bpe_path=args.bpe_vocab)
+        # precomputed prompt embedding beats needing the BPE file
+        text_query = (np.asarray(clip["text_features"])
+                      if "text_features" in clip else args.ground)
 
     ws = Workspace(args.workspace, args.inpaint_root)
     for mode in args.modes:
@@ -175,7 +209,15 @@ def main(argv=None):
             diff = np.abs(inpainted - render).mean(axis=-1)
             mask = ((diff > args.threshold) & (box > 0.5)).astype(
                 np.float32)
-            masks.append(_binary_cleanup(mask))
+            mask = _binary_cleanup(mask)
+            if grounder is not None:
+                from ..guidance.grounding import (box_to_mask,
+                                                  filter_components)
+                gbox, _ = grounder(inpainted, text_query)
+                mask = filter_components(
+                    mask, box_to_mask(gbox, *mask.shape),
+                    min_overlap=args.ground_min_overlap)
+            masks.append(mask)
             boxes.append(box)
 
         if args.propagate:

@@ -371,6 +371,30 @@ def main():
         "composite_gpairpix_per_s": round(pair_pixels_per_s / 1e9, 2),
     }
 
+    # ---- multi-chip projection: band-sharded frame (PERF.md) ----------
+    # One executable renders any horizontal band (band_row0 is traced);
+    # the worst band's time is the 8-chip frame latency
+    # (render_frame_sharded shards bands with zero collectives). Guarded:
+    # a failure here must not cost the driver its metric line.
+    try:
+        n_bands = 8
+        band_rows = -(-tiles_y // n_bands)
+        bkw = dict(kwargs)
+        bkw.pop("expand_window", None)
+        bkw["pair_budget"] = 4 * n
+        bkw["band_rows"] = band_rows
+        worst = 0.0
+        for r0 in range(n_bands):
+            bt = _timeit_min(
+                lambda r0=r0: render(params, rcam, bg,
+                                     band_row0=jnp.int32(r0 * band_rows),
+                                     **bkw), iters=10, reps=2)
+            worst = max(worst, bt)
+        breakdown["band_worst_ms"] = round(worst * 1e3, 2)
+        breakdown["band_8chip_projected_fps"] = round(1.0 / worst, 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"band projection skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "splat_render_1080p_fps",
         "value": round(fps, 2),

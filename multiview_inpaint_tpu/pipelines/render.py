@@ -9,6 +9,7 @@ from __future__ import annotations
 import argparse
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,17 +21,35 @@ from . import common
 
 def render_set(model_path, name, iteration, views, params, bg,
                sh_degree, max_per_tile=1024, pair_budget_mult=8,
-               save_depth=False, backend="xla"):
+               save_depth=False, backend="xla", mesh=None):
     render_dir = os.path.join(model_path, name, f"ours_{iteration}",
                               "renders")
     gt_dir = os.path.join(model_path, name, f"ours_{iteration}", "gt")
     os.makedirs(render_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
+    kw = dict(sh_degree=sh_degree, max_per_tile=max_per_tile,
+              pair_budget=pair_budget_mult * params.capacity,
+              backend=backend)
+
+    def one_view(view):
+        return render(params, RenderCamera.from_camera(view), bg, **kw)
+
+    outs = {}
+    uniform = len({(v.width, v.height) for v in views}) == 1
+    if mesh is not None and mesh.devices.size > 1 and uniform:
+        # Views shard over the data axis in mesh-size groups (one
+        # compiled program reused; big train sets stay off one jit).
+        from ..parallel.render_parallel import render_views_sharded
+        d = mesh.devices.size
+        for lo in range(0, len(views), d):
+            group = views[lo:lo + d]
+            out = render_views_sharded(params, group, bg, mesh, **kw)
+            for j in range(len(group)):
+                outs[lo + j] = jax.tree_util.tree_map(
+                    lambda x, j=j: x[j], out)
+
     for idx, view in enumerate(views):
-        out = render(params, RenderCamera.from_camera(view), bg,
-                     sh_degree=sh_degree, max_per_tile=max_per_tile,
-                     pair_budget=pair_budget_mult * params.capacity,
-                     backend=backend)
+        out = outs[idx] if idx in outs else one_view(view)
         scene_io.save_image(os.path.join(render_dir, f"{idx:05d}.png"),
                             np.asarray(out.rgb))
         if view.image is not None:
@@ -53,6 +72,9 @@ def main(argv=None):
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--save_depth", action="store_true")
     parser.add_argument("--max_per_tile", type=int, default=1024)
+    parser.add_argument("--shard_views", action="store_true",
+                        help="shard view rendering over all devices "
+                             "(uniform view sizes; params replicated)")
     common.add_backend_arg(parser)
     args = parser.parse_args(argv)
     args = common.load_cfg(args.model_path, args, set())
@@ -64,16 +86,22 @@ def main(argv=None):
     iteration = scene.loaded_iteration or args.iteration
     bg = common.default_background(args.white_background)
     backend = common.resolve_backend(args.backend)
+    mesh = None
+    if args.shard_views and len(jax.devices()) > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh()
     if not args.skip_train:
         render_set(args.model_path, "train", iteration,
                    scene.train_cameras(), scene.gaussians, bg,
                    args.sh_degree, args.max_per_tile,
-                   save_depth=args.save_depth, backend=backend)
+                   save_depth=args.save_depth, backend=backend,
+                   mesh=mesh)
     if not args.skip_test:
         render_set(args.model_path, "test", iteration,
                    scene.test_cameras(), scene.gaussians, bg,
                    args.sh_degree, args.max_per_tile,
-                   save_depth=args.save_depth, backend=backend)
+                   save_depth=args.save_depth, backend=backend,
+                   mesh=mesh)
 
 
 if __name__ == "__main__":

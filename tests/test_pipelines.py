@@ -199,3 +199,27 @@ def test_gen_seq_cli_shard_views(workspace, tmp_path):
             a = scene_io.load_image(os.path.join(d_a, f))
             b = scene_io.load_image(os.path.join(d_b, f))
             np.testing.assert_array_equal(a, b)
+
+
+def test_render_cli_shard_views(workspace):
+    """render --shard_views (6 train views over the 8 virtual devices,
+    in mesh-size groups) must write byte-identical renders to the
+    sequential run. (Both runs target the same model dir — the stored
+    cfg pins model_path — so the sequential bytes are snapshotted
+    between runs.)"""
+    base = ["-s", workspace["src"], "-m", workspace["model"],
+            "--resolution", "1", "--iteration", "60",
+            "--max_per_tile", "256"]
+    rdir = os.path.join(workspace["model"], "train", "ours_60",
+                        "renders")
+    render_cli.main(base)
+    names = sorted(os.listdir(rdir))
+    assert len(names) == 6
+    seq_bytes = {f: open(os.path.join(rdir, f), "rb").read()
+                 for f in names}
+    for f in names:
+        os.remove(os.path.join(rdir, f))
+    render_cli.main(base + ["--shard_views"])
+    assert sorted(os.listdir(rdir)) == names
+    for f in names:
+        assert open(os.path.join(rdir, f), "rb").read() == seq_bytes[f]

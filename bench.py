@@ -385,6 +385,16 @@ def main():
         bkw["band_rows"] = band_rows
         worst = 0.0
         for r0 in range(n_bands):
+            bout = render(params, rcam, bg,
+                          band_row0=jnp.int32(r0 * band_rows), **bkw)
+            # Same no-overflow invariant as the headline metric: a
+            # clipped band is a cheaper, corrupted render — never time
+            # it into the projection.
+            if (int(bout.pairs) > bkw["pair_budget"]
+                    or int(bout.expand_needed) > 288):
+                raise RuntimeError(
+                    f"band {r0} overflow: pairs={int(bout.pairs)} "
+                    f"need={int(bout.expand_needed)}")
             bt = _timeit_min(
                 lambda r0=r0: render(params, rcam, bg,
                                      band_row0=jnp.int32(r0 * band_rows),

@@ -98,11 +98,22 @@ class CLIPGrounder:
         tfeat = (self.text_features(text) if isinstance(text, str)
                  else jnp.asarray(text))
         size = self.vit.cfg.image_size
-        crops = np.stack([
-            np.asarray(jax.image.resize(
-                jnp.asarray(image[y0:y1, x0:x1], jnp.float32),
-                (size, size, 3), method="bilinear"))
-            for y0, x0, y1, x1 in windows])
+        # One batched resize per window SCALE (windows of one scale
+        # share a shape), not one eager device round trip per window —
+        # per-call fetches over the axon tunnel cost a full round trip
+        # each (CLAUDE.md).
+        img = np.asarray(image, np.float32)
+        crops = np.empty((len(windows), size, size, 3), np.float32)
+        sizes = {}
+        for k, (y0, x0, y1, x1) in enumerate(windows):
+            sizes.setdefault((y1 - y0, x1 - x0), []).append(k)
+        for (wh, ww), ks in sizes.items():
+            batch = jnp.asarray(np.stack(
+                [img[windows[k][0]:windows[k][2],
+                     windows[k][1]:windows[k][3]] for k in ks]))
+            resized = jax.image.resize(
+                batch, (len(ks), size, size, 3), method="bilinear")
+            crops[np.asarray(ks)] = np.asarray(resized)
         emb = self._embed(self.vision_params,
                           jnp.asarray(crops) * 2.0 - 1.0)   # [K, D]
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)

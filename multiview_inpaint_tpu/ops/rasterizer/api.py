@@ -321,6 +321,16 @@ def render_views(params: GaussianParams, cameras, bg_color: jnp.ndarray,
     protos = [c if isinstance(c, RenderCamera)
               else RenderCamera.from_camera(c) for c in cameras]
     p0 = protos[0]
+    statics = {(c.width, c.height, c.tan_fovx, c.tan_fovy)
+               for c in protos}
+    if len(statics) > 1:
+        # Only world_view/full_proj/campos vary below: mixed sizes or
+        # FOVs would silently render every non-first view with view 0's
+        # focal/frustum. Callers with heterogeneous cameras must loop
+        # plain render().
+        raise ValueError(f"render_views needs uniform camera statics "
+                         f"(width, height, tan_fovx, tan_fovy); got "
+                         f"{sorted(statics)}")
 
     def one(w, f, c):
         cam = dataclasses.replace(p0, world_view=w, full_proj=f, campos=c)

@@ -36,26 +36,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.rasterizer import RenderCamera, render
 
 
-def render_views_sharded(params, cameras, bg_color, mesh: Mesh,
-                         axis: str = "data", **kwargs):
-    """Render ``len(cameras)`` views of one scene, views sharded over
-    ``mesh[axis]``; params replicated. Returns the same stacked
-    ``RenderOutput`` (leading view dim) as ``rasterizer.render_views``.
-    All ``render`` kwargs (backend/pair_budget/tile/...) pass through
-    and must be identical across views (one compiled program)."""
-    protos = [c if isinstance(c, RenderCamera)
-              else RenderCamera.from_camera(c) for c in cameras]
-    proto = protos[0]
-    n_views = len(protos)
-    n_dev = mesh.shape[axis]
-    pad = (-n_views) % n_dev
-    padded = protos + [protos[-1]] * pad
+# Compiled shard_map programs, keyed on everything that shapes the
+# trace: rebuilding jax.jit(shard_map(<fresh closure>)) per call would
+# recompile the whole sharded render each invocation (20s-minutes on
+# the axon TPU) — render.py's group loop and per-frame band rendering
+# both call these repeatedly with identical statics.
+_SHARDED_FN_CACHE: dict = {}
 
-    wv = jnp.stack([c.world_view for c in padded])   # [V, 4, 4]
-    fp = jnp.stack([c.full_proj for c in padded])
-    cc = jnp.stack([c.campos for c in padded])
 
-    local = (n_views + pad) // n_dev
+def _camera_statics(c: RenderCamera):
+    return (c.width, c.height, c.tan_fovx, c.tan_fovy)
+
+
+def _views_fn(mesh, axis, local, proto, kwargs):
+    key = ("views", mesh, axis, local, _camera_statics(proto),
+           tuple(sorted(kwargs.items())))
+    if key in _SHARDED_FN_CACHE:
+        return _SHARDED_FN_CACHE[key]
 
     def shard_fn(params, bg, wv, fp, cc):
         outs = []
@@ -73,6 +70,35 @@ def render_views_sharded(params, cameras, bg_color, mesh: Mesh,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), view_spec, view_spec, view_spec),
         out_specs=view_spec, check_vma=False))
+    _SHARDED_FN_CACHE[key] = fn
+    return fn
+
+
+def render_views_sharded(params, cameras, bg_color, mesh: Mesh,
+                         axis: str = "data", **kwargs):
+    """Render ``len(cameras)`` views of one scene, views sharded over
+    ``mesh[axis]``; params replicated. Returns the same stacked
+    ``RenderOutput`` (leading view dim) as ``rasterizer.render_views``.
+    All ``render`` kwargs (backend/pair_budget/tile/...) pass through;
+    camera statics (size, FOV) must be uniform — the compiled program
+    bakes view 0's (raises otherwise, like ``render_views``)."""
+    protos = [c if isinstance(c, RenderCamera)
+              else RenderCamera.from_camera(c) for c in cameras]
+    proto = protos[0]
+    if len({_camera_statics(c) for c in protos}) > 1:
+        raise ValueError("render_views_sharded needs uniform camera "
+                         "statics (width, height, tan_fovx, tan_fovy)")
+    n_views = len(protos)
+    n_dev = mesh.shape[axis]
+    pad = (-n_views) % n_dev
+    padded = protos + [protos[-1]] * pad
+
+    wv = jnp.stack([c.world_view for c in padded])   # [V, 4, 4]
+    fp = jnp.stack([c.full_proj for c in padded])
+    cc = jnp.stack([c.campos for c in padded])
+
+    local = (n_views + pad) // n_dev
+    fn = _views_fn(mesh, axis, local, proto, kwargs)
     params_r = jax.tree_util.tree_map(
         lambda a: jax.device_put(a, NamedSharding(mesh, P())), params)
     bg = jax.device_put(jnp.asarray(bg_color, jnp.float32),
@@ -108,20 +134,36 @@ def render_frame_sharded(params, camera, bg_color, mesh: Mesh,
     band_rows = -(-tiles_y // n_dev)
     row0s = jnp.arange(n_dev, dtype=jnp.int32) * band_rows
 
-    def shard_fn(params, bg, row0):
-        out = render(params, cam, bg, band_rows=band_rows,
-                     band_row0=row0[0], **kwargs)
-        return jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], out)
+    key = ("frame", mesh, axis, band_rows, _camera_statics(cam),
+           tuple(sorted(kwargs.items())))
+    fn = _SHARDED_FN_CACHE.get(key)
+    if fn is None:
+        def shard_fn(params, bg, wv, fp, cc, row0):
+            # camera pose rides as replicated operands (NOT baked
+            # constants: the cached program must serve any pose with
+            # these statics)
+            c = dataclasses.replace(cam, world_view=wv,
+                                    full_proj=fp, campos=cc)
+            out = render(params, c, bg, band_rows=band_rows,
+                         band_row0=row0[0], **kwargs)
+            return jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x)[None], out)
 
-    fn = jax.jit(jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=(P(), P(), P(axis)),
-        out_specs=P(axis), check_vma=False))
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(axis)),
+            out_specs=P(axis), check_vma=False))
+        _SHARDED_FN_CACHE[key] = fn
     rep = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
     params_r = jax.tree_util.tree_map(
         lambda a: jax.device_put(a, rep), params)
     bg = jax.device_put(jnp.asarray(bg_color, jnp.float32), rep)
-    out = fn(params_r, bg, jax.device_put(row0s, shard))
+    out = fn(params_r, bg,
+             jax.device_put(cam.world_view, rep),
+             jax.device_put(cam.full_proj, rep),
+             jax.device_put(cam.campos, rep),
+             jax.device_put(row0s, shard))
 
     h, w = cam.height, cam.width
     return out._replace(

@@ -127,29 +127,57 @@ def _make_handler(server_args):
 
 
 _LOCK = threading.Lock()   # one sampler at a time (one chip)
+_MODEL = {}                # loaded once per server process
+
+
+def _server_argv(server_args, extra):
+    argv = ["--num_frames", str(server_args.num_frames),
+            "--size", str(server_args.size[0]),
+            str(server_args.size[1])] + extra
+    if server_args.tiny_model:
+        argv.append("--tiny_model")
+    if server_args.base_ckpt:
+        argv += ["--base_ckpt", server_args.base_ckpt]
+    if server_args.safety_heads:
+        argv += ["--safety_heads", server_args.safety_heads]
+    return argv
+
+
+def _get_model(server_args):
+    """Engine + checkpoint loaded ONCE (the gradio demo's cached
+    load_model); requests only re-run the sampler."""
+    from . import simple_video_sample
+    if "model" not in _MODEL:
+        args = simple_video_sample.build_parser().parse_args(
+            _server_argv(server_args, ["--image", "/dev/null"]))
+        _MODEL["model"] = simple_video_sample.load_model(args)
+    return _MODEL["model"]
 
 
 def _run_sample(server_args, img_bytes, num_steps, num_frames, seed,
                 motion):
+    import dataclasses
+
     from . import simple_video_sample
+    if num_frames != server_args.num_frames:
+        raise ValueError(
+            f"server model is loaded with num_frames="
+            f"{server_args.num_frames}; restart with --num_frames "
+            f"{num_frames} to change it")
     with _LOCK, tempfile.TemporaryDirectory(prefix="demo_app_") as tmp:
+        eng, state, cfg = _get_model(server_args)
         src = os.path.join(tmp, "input.png")
         with open(src, "wb") as f:
             f.write(img_bytes)
         out = os.path.join(tmp, "out")
-        argv = ["--image", src, "--out", out,
-                "--num_steps", str(num_steps),
-                "--num_frames", str(num_frames), "--seed", str(seed),
-                "--motion_bucket_id", str(motion),
-                "--size", str(server_args.size[0]),
-                str(server_args.size[1])]
-        if server_args.tiny_model:
-            argv.append("--tiny_model")
-        if server_args.base_ckpt:
-            argv += ["--base_ckpt", server_args.base_ckpt]
-        if server_args.safety_heads:
-            argv += ["--safety_heads", server_args.safety_heads]
-        simple_video_sample.main(argv)
+        args = simple_video_sample.build_parser().parse_args(
+            _server_argv(server_args, [
+                "--image", src, "--out", out,
+                "--num_steps", str(num_steps), "--seed", str(seed),
+                "--motion_bucket_id", str(motion)]))
+        simple_video_sample.sample_clip(
+            eng, state, dataclasses.replace(cfg, num_steps=num_steps),
+            args)
         with open(os.path.join(out, "video.gif"), "rb") as f:
             return f.read()
 

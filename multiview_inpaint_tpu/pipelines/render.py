@@ -35,7 +35,10 @@ def render_set(model_path, name, iteration, views, params, bg,
         return render(params, RenderCamera.from_camera(view), bg, **kw)
 
     outs = {}
-    uniform = len({(v.width, v.height) for v in views}) == 1
+    # FOV is a compiled-in static: same-size cameras with different
+    # focals must fall back to the per-view loop.
+    uniform = len({(v.width, v.height, v.tan_half_fovx,
+                    v.tan_half_fovy) for v in views}) == 1
     if mesh is not None and mesh.devices.size > 1 and uniform:
         # Views shard over the data axis in mesh-size groups (one
         # compiled program reused; big train sets stay off one jit).

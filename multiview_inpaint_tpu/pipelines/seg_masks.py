@@ -176,6 +176,12 @@ def main(argv=None):
         # precomputed prompt embedding beats needing the BPE file
         text_query = (np.asarray(clip["text_features"])
                       if "text_features" in clip else args.ground)
+        if isinstance(text_query, str) and (
+                clip.get("text") is None or not args.bpe_vocab):
+            raise SystemExit(
+                "--ground with a plain-text query needs either a "
+                "'text_features' row in --clip_ckpt or 'text' tower "
+                "params + --bpe_vocab")
 
     ws = Workspace(args.workspace, args.inpaint_root)
     for mode in args.modes:

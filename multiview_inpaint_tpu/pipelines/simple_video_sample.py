@@ -9,6 +9,11 @@ this the general demo entry point).
 
     python -m multiview_inpaint_tpu.pipelines.simple_video_sample \
         --image input.png --base_ckpt svd_weights.npz --out out_dir
+
+Split into :func:`load_model` (engine + checkpoint, expensive) and
+:func:`sample_clip` (one clip) so long-lived callers — the browser demo
+``pipelines/demo_app.py``, matching the reference gradio app's cached
+``load_model`` — pay the weight load once.
 """
 
 from __future__ import annotations
@@ -27,7 +32,7 @@ from ..diffusion.engine import EngineConfig, SVDEngine, init_engine
 from ..gs import scene_io
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--image", required=True)
     p.add_argument("--out", default="video_out")
@@ -52,8 +57,12 @@ def main(argv=None):
                         "blurred (reference DeepFloydDataFiltering in "
                         "simple_video_sample.py)")
     p.add_argument("--safety_threshold", type=float, default=0.5)
-    args = p.parse_args(argv)
+    return p
 
+
+def load_model(args):
+    """Engine + state (checkpoint imported once). Returns (eng, state,
+    cfg) — reusable across :func:`sample_clip` calls."""
     if args.tiny_model:
         import dataclasses as _dc
         from ..diffusion.clip_vit import TINY_VIT
@@ -92,10 +101,16 @@ def main(argv=None):
                  "clip": state.clip}, loaded)
             state = dataclasses.replace(state, **merged)
             print(f"base ckpt: {len(missing)} missing")
+    return eng, state, cfg
 
+
+def sample_clip(eng, state, cfg, args):
+    """Condition on ``args.image``, sample one clip, write frames + GIF
+    into ``args.out``. ``num_frames``/``size`` must match the loaded
+    model's (they shape the compiled graphs)."""
     img = scene_io.load_image(args.image,
                               (args.size[1], args.size[0])) * 2 - 1
-    t = args.num_frames
+    t = cfg.num_frames
     batch = {
         "cond_frames_without_noise": jnp.asarray(img)[None],
         "cond_frames": jnp.asarray(img)[None],
@@ -161,6 +176,12 @@ def main(argv=None):
     vis_main(["--frames_dir", args.out,
               "--out", os.path.join(args.out, "video.gif")])
     print(f"{t} frames -> {args.out}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    eng, state, cfg = load_model(args)
+    sample_clip(eng, state, cfg, args)
 
 
 if __name__ == "__main__":

@@ -372,32 +372,46 @@ def main():
     }
 
     # ---- multi-chip projection: band-sharded frame (PERF.md) ----------
-    # One executable renders any horizontal band (band_row0 is traced);
-    # the worst band's time is the 8-chip frame latency
-    # (render_frame_sharded shards bands with zero collectives). Guarded:
-    # a failure here must not cost the driver its metric line.
+    # One executable renders any INTERLEAVED band (device d owns tile
+    # rows d, d+8, ... — adjacent rows carry similar splat loads, so
+    # bands balance to ~1/8 of the frame's pairs where contiguous bands
+    # measured 15x apart); the worst band's time is the 8-chip frame
+    # latency (render_frame_sharded shards bands with zero collectives).
+    # Guarded: a failure here must not cost the driver its metric line.
     try:
         n_bands = 8
         band_rows = -(-tiles_y // n_bands)
         bkw = dict(kwargs)
         bkw.pop("expand_window", None)
-        bkw["pair_budget"] = 4 * n
+        bkw["pair_budget"] = int(2.5 * n)
         bkw["band_rows"] = band_rows
-        worst = 0.0
+        bkw["band_stride"] = n_bands
+        # Validation pass: the same no-overflow invariant as the
+        # headline metric — a clipped band is a cheaper, corrupted
+        # render and must never be timed into the projection. Also
+        # collects the worst expansion-window need to tighten the
+        # timed config exactly like the full-frame path.
+        band_need = 0
         for r0 in range(n_bands):
             bout = render(params, rcam, bg,
-                          band_row0=jnp.int32(r0 * band_rows), **bkw)
-            # Same no-overflow invariant as the headline metric: a
-            # clipped band is a cheaper, corrupted render — never time
-            # it into the projection.
+                          band_row0=jnp.int32(r0), **bkw)
             if (int(bout.pairs) > bkw["pair_budget"]
                     or int(bout.expand_needed) > 288):
                 raise RuntimeError(
                     f"band {r0} overflow: pairs={int(bout.pairs)} "
                     f"need={int(bout.expand_needed)}")
+            band_need = max(band_need, int(bout.expand_needed))
+        bkw["expand_window"] = max(
+            -(-(band_need + 16) // 16) * 16, 32)
+        worst = 0.0
+        for r0 in range(n_bands):
+            bout = render(params, rcam, bg,
+                          band_row0=jnp.int32(r0), **bkw)
+            if int(bout.expand_needed) > bkw["expand_window"]:
+                raise RuntimeError("band window corruption")
             bt = _timeit_min(
                 lambda r0=r0: render(params, rcam, bg,
-                                     band_row0=jnp.int32(r0 * band_rows),
+                                     band_row0=jnp.int32(r0),
                                      **bkw), iters=10, reps=2)
             worst = max(worst, bt)
         breakdown["band_worst_ms"] = round(worst * 1e3, 2)

@@ -140,7 +140,7 @@ def _assemble(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile_w: int,
 @partial(jax.jit, static_argnames=("sh_degree", "tile", "pair_budget",
                                    "max_per_tile", "chunk", "backend",
                                    "interpret", "expand_window",
-                                   "band_rows"))
+                                   "band_rows", "band_stride"))
 def render(params: GaussianParams, camera: RenderCamera,
            bg_color: jnp.ndarray, sh_degree: int = 0,
            scaling_modifier: float = 1.0,
@@ -152,7 +152,8 @@ def render(params: GaussianParams, camera: RenderCamera,
            interpret: bool = False,
            expand_window: int = 0,
            band_rows: Optional[int] = None,
-           band_row0: Optional[jnp.ndarray] = None) -> RenderOutput:
+           band_row0: Optional[jnp.ndarray] = None,
+           band_stride: int = 1) -> RenderOutput:
     """Render one view.
 
     ``backend``: "xla" (default) or "pallas" (fused TPU kernels with
@@ -163,18 +164,22 @@ def render(params: GaussianParams, camera: RenderCamera,
 
     Band mode (single-frame multi-chip sharding, see
     ``parallel.render_parallel.render_frame_sharded``): ``band_rows``
-    (static) renders only that many tile rows starting at global tile
-    row ``band_row0`` (traced int32 scalar — one executable serves every
-    band). Projection stays full-frame; binning intersects rects with
-    the band in integer space; the composite kernels shift their tile
-    origin by the offset. Per-tile splat COVERAGE AND ORDER are exactly
-    the full frame's; on the xla backend band pixels are BIT-IDENTICAL
-    to the corresponding full-frame rows, while the pallas backend
-    regroups each segment at different 128-lane chunk boundaries (the
-    segment's pair offset is band-local), shifting f32 accumulation
-    order by ≲2e-6 — well inside its cross-backend tolerance. Output
-    images have ``band_rows*tile_h`` rows (no bottom crop — the caller
-    stitches bands then crops to the frame height).
+    (static) renders only the tile rows ``band_row0 + l*band_stride``
+    (l = 0..band_rows-1; the offset is a traced int32 scalar — one
+    executable serves every band). Stride 1 is a contiguous horizontal
+    band; stride D with offsets 0..D-1 gives INTERLEAVED bands, which
+    load-balance across devices (adjacent rows carry similar splat
+    loads, contiguous bands can differ 15x). Projection stays
+    full-frame; binning intersects rects with the row set in integer
+    space; the composite kernels map local rows to global origins.
+    Per-tile splat COVERAGE AND ORDER are exactly the full frame's; on
+    the xla backend band pixels are BIT-IDENTICAL to the corresponding
+    full-frame rows, while the pallas backend regroups each segment at
+    different 128-lane chunk boundaries (the segment's pair offset is
+    band-local), shifting f32 accumulation order by ≲2e-6 — well
+    inside its cross-backend tolerance. Output images hold the band's
+    rows in LOCAL order (``band_rows*tile_h`` rows; the caller
+    stitches/interleaves bands then crops to the frame height).
     """
     n = params.capacity
     tile_h, tile_w = tile
@@ -227,7 +232,8 @@ def render(params: GaussianParams, camera: RenderCamera,
         extent=jax.lax.stop_gradient(proj.extent),
         expand_kernel=(backend == "pallas"), interpret=interpret,
         expand_window=expand_window,
-        tile_row0=row0, tiles_y_total=tiles_y_total)
+        tile_row0=row0, tiles_y_total=tiles_y_total,
+        tile_row_stride=band_stride)
 
     if backend == "pallas":
         if (tile_h * tile_w) % 128 != 0:
@@ -251,8 +257,10 @@ def render(params: GaussianParams, camera: RenderCamera,
             packed_s = jnp.concatenate(
                 [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)])
             attrs_t = packed_s[bins.gid_sorted].T
-        row0_f = (jnp.zeros((), jnp.float32) if row0 is None
-                  else row0.astype(jnp.float32))
+        row0_f = jnp.stack(
+            [jnp.zeros((), jnp.float32) if row0 is None
+             else row0.astype(jnp.float32),
+             jnp.float32(band_stride)])
         tiles8 = _pallas_composite_diff(
             tiles_x, tiles_y, tile_h, tile_w, interpret, attrs_t,
             bins.seg_start.astype(jnp.float32),
@@ -286,12 +294,14 @@ def render(params: GaussianParams, camera: RenderCamera,
     else:
         pix = _tile_pixel_coords(tiles_x, tiles_y, tile_w, tile_h)
         if row0 is not None:
-            # Shift tile-local pixel rows into global frame coordinates
-            # (exact: integer-valued f32 < 2^24) so dx/dy bit-match the
-            # full-frame path.
+            # Shift each local tile row ty to its global frame origin
+            # (row0 + ty*stride)*tile_h (exact: integer-valued f32
+            # < 2^24) so dx/dy bit-match the full-frame path.
+            ty = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32) // tiles_x
+            dy = (row0 + ty * (band_stride - 1)) * tile_h
             pix = pix + jnp.stack(
-                [jnp.zeros((), jnp.float32),
-                 (row0 * tile_h).astype(jnp.float32)])
+                [jnp.zeros_like(dy), dy], axis=-1)[:, None, :].astype(
+                    jnp.float32)
         out = composite.composite_tiles(
             bins.ids, bins.valid, pix, proj.means2d, proj.conic,
             proj.color, proj.depth, proj.opacity,

@@ -134,7 +134,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   aux: jnp.ndarray | None = None,
                   expand_window: int = 0,
                   tile_row0: jnp.ndarray | None = None,
-                  tiles_y_total: int | None = None) -> TileBins:
+                  tiles_y_total: int | None = None,
+                  tile_row_stride: int = 1) -> TileBins:
     """``aligned_chunk`` > 0 selects the Pallas segment layout. With
     packed keys the layout is UNALIGNED (no padding pairs at all — the
     kernels DMA from the 128-aligned enclosing window and mask lanes);
@@ -144,10 +145,13 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     relayout.
 
     Band mode (multi-chip single-frame sharding): ``tile_row0`` (traced
-    int32 scalar) selects a horizontal band of ``tiles_y`` tile rows
-    starting at global row ``tile_row0`` of a ``tiles_y_total``-row
-    frame. Rects are computed in GLOBAL tile coordinates and intersected
-    with the band in integer space, so a band's per-tile pair lists are
+    int32 scalar) selects the ``tiles_y`` tile rows
+    ``tile_row0 + l * tile_row_stride`` (l = 0..tiles_y-1) of a
+    ``tiles_y_total``-row frame — a contiguous horizontal band at
+    stride 1, or every D-th row at stride D (interleaved bands load-
+    balance across devices: adjacent rows have similar splat loads).
+    Rects are computed in GLOBAL tile coordinates and intersected with
+    the row set in integer space, so a band's per-tile pair lists are
     exactly the full frame's (bit-identical compositing)."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -179,12 +183,20 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     y0 = y0.astype(jnp.int32)
     y1 = y1.astype(jnp.int32)
     if tile_row0 is not None:
-        # Intersect the global rect rows with the band [row0, row0+TY):
-        # integer arithmetic, so band-tile pair sets match the full frame
-        # exactly. Downstream (keys, histogram) works in band-local rows.
+        # Intersect the global rect rows with the band's row set
+        # {row0 + l*stride}: local row l covers global y0 <= row0 +
+        # l*stride < y1, so l in [ceil((y0-row0)/s), ceil((y1-row0)/s)).
+        # Integer arithmetic — band-tile pair sets match the full frame
+        # exactly. Downstream (keys, histogram) works in LOCAL rows.
         row0 = jnp.asarray(tile_row0, jnp.int32)
-        y0 = jnp.clip(y0 - row0, 0, tiles_y)
-        y1 = jnp.clip(y1 - row0, 0, tiles_y)
+        s = int(tile_row_stride)
+        if s == 1:
+            y0 = jnp.clip(y0 - row0, 0, tiles_y)
+            y1 = jnp.clip(y1 - row0, 0, tiles_y)
+        else:
+            # ceil((a)/s) for any-sign int a: -((-a) // s)
+            y0 = jnp.clip(-((row0 - y0) // s), 0, tiles_y)
+            y1 = jnp.clip(-((row0 - y1) // s), 0, tiles_y)
     rect_w = (x1 - x0).astype(jnp.int32)
     rect_h = (y1 - y0).astype(jnp.int32)
     count = jnp.where(radius > 0, rect_w * rect_h, 0)

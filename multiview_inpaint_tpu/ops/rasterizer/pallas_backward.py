@@ -92,9 +92,10 @@ def _bwd_kernel(group, tiles_x, tile_h, tile_w, early_exit, starts_ref,
     def one_tile(g_idx, _):
         tx = txg * group + g_idx
         ox = (tx * tile_w).astype(jnp.float32)
-        # Band mode: global tile-row offset (bit-matches the forward
-        # kernel's oy; 0 for whole frames).
-        oy = ((t + row0_ref[0]) * tile_h).astype(jnp.float32)
+        # Band mode: local row t -> global row row0 + t*stride
+        # (bit-matches the forward kernel's oy; (0, 1) for whole frames).
+        oy = ((row0_ref[0] + t * row0_ref[1]) * tile_h).astype(
+            jnp.float32)
 
         row = t * tiles_x + tx
         start = win_base(row)
@@ -379,8 +380,8 @@ def composite_pallas_bwd(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
     bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
     t8 = tiles8.reshape(tiles_y, tiles_x, 8, pix)
     g8 = g_tiles8.reshape(tiles_y, tiles_x, 8, pix)
-    row0_arr = (jnp.zeros((1,), jnp.int32) if row0 is None
-                else jnp.asarray(row0, jnp.int32).reshape(1))
+    from .pallas_composite import _row_map_arr
+    row0_arr = _row_map_arr(row0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(tiles_y, tiles_x // group),

@@ -122,10 +122,12 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
         # global pixel columns (narrow values occupy 32 lane-padded
         # vregs, so those two adds cost ~64 vreg-ops per tile).
         ox = (tx * tile_w).astype(jnp.float32)
-        # Band mode (single-frame multi-chip sharding): row0 shifts this
-        # program's tile row into GLOBAL frame coordinates, so dy below
-        # bit-matches the full-frame kernel. row0 == 0 for whole frames.
-        oy = ((t + row0_ref[0]) * tile_h).astype(jnp.float32)
+        # Band mode (single-frame multi-chip sharding): local tile row t
+        # maps to GLOBAL frame row row0 + t*stride — (0, 1) for whole
+        # frames, (d, D) for interleaved bands — so dy below bit-matches
+        # the full-frame kernel.
+        oy = ((row0_ref[0] + t * row0_ref[1]) * tile_h).astype(
+            jnp.float32)
 
         row = t * tiles_x + tx
         start = win_base(row)
@@ -298,11 +300,13 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
     [T, 8, pix] tiles (rows 0-3 = bg-free rgb+depth accumulators, row 4
     = final transmittance): callers composite the background in XLA.
 
-    ``row0`` (traced int32 scalar, default 0): global tile-row offset of
-    this call's first tile row — band mode for single-frame multi-chip
-    sharding. The splat means stay in global pixel coordinates; the
-    kernel shifts its per-tile origin so band output rows bit-match the
-    full-frame render.
+    ``row0`` (traced int32, default (0, 1)): (offset, stride) mapping
+    local tile row t to global frame row ``offset + t*stride`` — band
+    mode for single-frame multi-chip sharding (contiguous bands stride
+    1, interleaved bands stride D). The splat means stay in global
+    pixel coordinates; the kernel shifts its per-tile origin so band
+    output rows bit-match the full-frame render. A bare scalar means
+    (offset, 1).
 
     ``early_exit`` enables the per-tile saturation break in the chunk
     loop. The OUTPUT is identical either way (the in-body contrib gate
@@ -322,8 +326,7 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
     assert tiles_x % group == 0, "group must divide tiles_x"
     bg = jnp.zeros((8, 1), jnp.float32).at[0:3, 0].set(bg_color)
     bg = bg.at[3, 0].set(DEPTH_EMPTY)
-    row0_arr = (jnp.zeros((1,), jnp.int32) if row0 is None
-                else jnp.asarray(row0, jnp.int32).reshape(1))
+    row0_arr = _row_map_arr(row0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(tiles_y, tiles_x // group),
@@ -354,6 +357,17 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
     )(seg_start.astype(jnp.int32), counts.astype(jnp.int32), row0_arr,
       attrs_t, bg)
     return out.reshape(num_tiles, 8, pix)
+
+
+def _row_map_arr(row0) -> jnp.ndarray:
+    """(offset, stride) int32[2] scalar-prefetch operand; accepts None
+    (identity), a bare offset scalar, or an (offset, stride) pair."""
+    if row0 is None:
+        return jnp.asarray([0, 1], jnp.int32)
+    arr = jnp.asarray(row0, jnp.int32).reshape(-1)
+    if arr.shape[0] == 1:
+        arr = jnp.concatenate([arr, jnp.ones((1,), jnp.int32)])
+    return arr
 
 
 def pack_attrs(means2d, conic, opacity, color, depth) -> jnp.ndarray:

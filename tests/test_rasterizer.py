@@ -644,3 +644,53 @@ def test_render_frame_sharded_matches_single_device():
     assert int(sh.pairs) == int(full.pairs)
     np.testing.assert_array_equal(np.asarray(sh.radii),
                                   np.asarray(full.radii))
+
+
+def test_interleaved_band_render_matches_full_frame():
+    """Stride-D band mode (device d owns tile rows d, d+D, ...) must
+    reproduce the full frame's rows — bit-identically on xla, within
+    the chunk-regrouping envelope on pallas — and the interleaved
+    frame-sharded wrapper must stitch them back exactly."""
+    from multiview_inpaint_tpu.parallel import make_mesh
+    from multiview_inpaint_tpu.parallel.render_parallel import (
+        render_frame_sharded)
+
+    rng = np.random.default_rng(7)
+    n = 80
+    p = _make_params(rng.normal(0, 0.7, (n, 3)),
+                     rng.random((n, 3)),
+                     rng.uniform(0.3, 0.95, (n, 1)),
+                     rng.uniform(0.05, 0.25, (n, 3)))
+    cam = cameras.make_camera(0, np.eye(3), np.array([0.0, 0.0, 4.0]),
+                              fovx=0.9, fovy=0.8, width=64, height=56)
+    rc = RenderCamera.from_camera(cam)
+    bg = jnp.asarray([0.15, 0.3, 0.45])
+    kw = dict(max_per_tile=64, pair_budget=8 * p.capacity)
+    for backend, interp in (("xla", False), ("pallas", True)):
+        full = rasterizer.render(p, rc, bg, backend=backend,
+                                 interpret=interp, **kw)
+        for d in (0, 1):   # stride 2, offsets 0/1 over 4 tile rows
+            band = rasterizer.render(p, rc, bg, backend=backend,
+                                     interpret=interp, band_rows=2,
+                                     band_row0=jnp.int32(d),
+                                     band_stride=2, **kw)
+            want = np.concatenate(
+                [np.asarray(full.rgb)[(d + 2 * l) * 16:
+                                      min((d + 2 * l) * 16 + 16, 56)]
+                 for l in range(2)])
+            got = np.asarray(band.rgb)[:want.shape[0]]
+            if backend == "xla":
+                np.testing.assert_array_equal(got, want)
+            else:
+                np.testing.assert_allclose(got, want, atol=4e-6)
+
+    mesh = make_mesh(8)
+    full = rasterizer.render(p, rc, bg, **kw)
+    for interleaved in (True, False):
+        sh = render_frame_sharded(p, rc, bg, mesh,
+                                  interleaved=interleaved, **kw)
+        np.testing.assert_allclose(np.asarray(sh.rgb),
+                                   np.asarray(full.rgb), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(sh.depth),
+                                   np.asarray(full.depth), atol=2e-5)
+        assert int(sh.pairs) == int(full.pairs)

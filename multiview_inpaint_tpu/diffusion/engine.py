@@ -256,18 +256,19 @@ class SVDEngine:
     # --- sampling --------------------------------------------------------
     def sample(self, state: EngineState, key: jax.Array, cond: Dict,
                uc: Dict, latent_shape: Tuple[int, ...],
-               num_steps: Optional[int] = None) -> jnp.ndarray:
+               num_steps: Optional[int] = None,
+               denoise_fn=None) -> jnp.ndarray:
+        """``denoise_fn`` overrides the engine's own (e.g. the
+        frame-sharded one from parallel.svd_inference_parallel)."""
         cfg = self.cfg
         sigmas = edm.edm_sigmas(num_steps or cfg.num_steps,
                                 cfg.sigma_min, cfg.sigma_max)
         sigmas = jnp.concatenate([sigmas, jnp.zeros((1,))])
         k1, k2 = jax.random.split(key)
         x = jax.random.normal(k1, latent_shape)
-
-        def denoise(gx, gs, gc):
-            return self.denoise_fn(state)(gx, gs, gc)
-
-        return samplers.euler_edm_sample(denoise, x, cond, uc, sigmas,
+        dn = denoise_fn if denoise_fn is not None else self.denoise_fn(
+            state)
+        return samplers.euler_edm_sample(dn, x, cond, uc, sigmas,
                                          guider=self.guider, key=k2)
 
     def sample_blended(self, state: EngineState, key: jax.Array,

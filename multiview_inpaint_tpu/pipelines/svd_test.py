@@ -97,6 +97,24 @@ def run(args):
         print(f"ctrl ckpt: {len(missing)} missing, "
               f"{len(unexpected)} unexpected")
 
+    sp_denoise = None
+    if getattr(args, "shard_frames", False):
+        import jax as _jax
+        t = args.num_frames
+        n_avail = len(_jax.devices())
+        n_dev = max(k for k in range(1, n_avail + 1) if t % k == 0)
+        if n_dev > 1 and args.sampling == "plain":
+            from ..parallel import make_mesh
+            from ..parallel.svd_inference_parallel import (
+                make_frame_sharded_denoiser)
+            sp_denoise = make_frame_sharded_denoiser(
+                eng, state, make_mesh(n_dev))
+            print(f"sequence-parallel sampling: {t} frames over "
+                  f"{n_dev} devices")
+        else:
+            print("shard_frames ignored (one usable device or "
+                  "non-plain sampling)")
+
     ds = GSVideoForwardDataset(args.data_root, size=args.size,
                                num_frames=args.num_frames,
                                modes=args.modes,
@@ -125,7 +143,8 @@ def run(args):
             z = fn(state, k2, cond, uc, bg_z, m)
         else:
             z = eng.sample(state, k2, cond, uc,
-                           latent_shape=(t, h8, w8, 4))
+                           latent_shape=(t, h8, w8, 4),
+                           denoise_fn=sp_denoise)
         frames = eng.decode_first_stage(state, z, timesteps=t)
         frames = np.asarray(frames)
         # reference-compatible grid
@@ -172,6 +191,10 @@ def main(argv=None):
                    help="debug: write every sampler step's latent as "
                         ".npy under DIR (the reference EDMSampler3's "
                         "np.save affordance, sampling.py:271-354)")
+    p.add_argument("--shard_frames", action="store_true",
+                   help="sequence-parallel sampling: shard the clip's "
+                        "frames over all devices (largest device count "
+                        "dividing num_frames; plain sampling only)")
     args = p.parse_args(argv)
     if args.dump_latents:
         from ..diffusion.samplers import latent_dump

@@ -652,3 +652,37 @@ def test_demo_app_server(tmp_path):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_svd_test_cli_shard_frames(ws2, tmp_path, capsys):
+    """--shard_frames: frames sharded over the virtual mesh (3 frames
+    -> 3 devices) must reproduce the plain run's outputs."""
+    data_root = os.path.join(ws2["root"], "inpaint")
+    assert os.path.isdir(os.path.join(data_root, "depth", "toy_case")), \
+        "run after test_gen_depth_cli (module chain)"
+    ctrl_dir = os.path.join(data_root, "ctrl1", "toy_case")
+    os.makedirs(ctrl_dir, exist_ok=True)
+    if not os.path.exists(os.path.join(ctrl_dir, "ctrl_0.png")):
+        shutil.copy(os.path.join(data_root, "seq", "toy_case", "x1",
+                                 f"ours_{IT}", "renders", "00.png"),
+                    os.path.join(ctrl_dir, "ctrl_0.png"))
+    outs = {}
+    for tag, extra in (("plain", []), ("sp", ["--shard_frames"])):
+        out = os.path.join(str(tmp_path), f"inp_{tag}")
+        svd_test.main([
+            "--data_root", data_root,
+            "--logdir", os.path.join(str(tmp_path), f"logs_{tag}"),
+            "--out", out, "--tiny_model", "--num_frames", str(FRAMES),
+            "--num_steps", "2", "--size", str(SIZE[0]), str(SIZE[1]),
+            "--iteration", str(IT), "--modes", "x1"] + extra)
+        outs[tag] = out
+    assert "sequence-parallel sampling: 3 frames over 3 devices" in \
+        capsys.readouterr().out
+    d_a = os.path.join(outs["plain"], "toy_case", "ctrl_0", "x1")
+    d_b = os.path.join(outs["sp"], "toy_case", "ctrl_0", "x1")
+    for f in sorted(os.listdir(d_a)):
+        a = scene_io.load_image(os.path.join(d_a, f))
+        b = scene_io.load_image(os.path.join(d_b, f))
+        # same keys/sigmas; GSPMD repartitioning shifts f32 rounding
+        np.testing.assert_allclose(a, b, atol=2e-2)
+        assert np.mean(np.abs(a - b)) < 2e-3

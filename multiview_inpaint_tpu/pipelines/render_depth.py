@@ -32,6 +32,9 @@ def main(argv=None):
                         help="inpaint hand-off dir (abs or relative to workspace)")
     parser.add_argument("--modes", nargs="+", default=["x1", "x2"])
     parser.add_argument("--frames", type=int, default=14)
+    parser.add_argument("--shard_views", action="store_true",
+                        help="shard orbit views over all devices "
+                             "(params replicated)")
     common.add_backend_arg(parser)
     common.add_orbit_args(parser)
     args = parser.parse_args(argv)
@@ -61,12 +64,25 @@ def main(argv=None):
                                args.scene_id, mode, f"ours_{iteration}",
                                "disp")
         os.makedirs(out_dir, exist_ok=True)
-        for view in views:
-            out = render(scene.gaussians, RenderCamera.from_camera(view),
-                         bg, sh_degree=args.sh_degree,
-                         pair_budget=8 * scene.gaussians.capacity,
-                         backend=common.resolve_backend(args.backend))
-            disp = 1.0 / np.clip(np.asarray(out.depth), 0.1, None)
+        kw = dict(sh_degree=args.sh_degree,
+                  pair_budget=8 * scene.gaussians.capacity,
+                  backend=common.resolve_backend(args.backend))
+        depths = None
+        if args.shard_views:
+            import jax
+            if len(jax.devices()) > 1:
+                from ..parallel import make_mesh
+                from ..parallel.render_parallel import (
+                    render_views_sharded)
+                outs = render_views_sharded(
+                    scene.gaussians, views, bg, make_mesh(), **kw)
+                depths = [np.asarray(outs.depth[i])
+                          for i in range(len(views))]
+        for i, view in enumerate(views):
+            d = (depths[i] if depths is not None else np.asarray(
+                render(scene.gaussians, RenderCamera.from_camera(view),
+                       bg, **kw).depth))
+            disp = 1.0 / np.clip(d, 0.1, None)
             disp = disp / disp.max()
             scene_io.save_image(os.path.join(out_dir,
                                              f"{view.image_name}.png"),

@@ -223,3 +223,30 @@ def test_render_cli_shard_views(workspace):
     assert sorted(os.listdir(rdir)) == names
     for f in names:
         assert open(os.path.join(rdir, f), "rb").read() == seq_bytes[f]
+
+
+def test_render_depth_cli_shard_views(workspace, tmp_path):
+    """render_depth --shard_views writes byte-identical disparity maps
+    to the sequential run (separate workspaces)."""
+    import shutil
+
+    base = ["-s", workspace["src"], "-m", workspace["model"],
+            "--scene_id", "toy_case", "--resolution", "1",
+            "--iteration", "60", "--frames", "4",
+            "--allow_default_orbit", "--modes", "x1"]
+    dirs = {}
+    for tag, extra in (("seq", []), ("shard", ["--shard_views"])):
+        ws = os.path.join(str(tmp_path), f"{tag}_ws")
+        os.makedirs(os.path.join(ws, "bds", "add"), exist_ok=True)
+        fixtures.write_cube_obj(
+            os.path.join(ws, "bds", "add", "toy_case.obj"),
+            center=(0.2, 0.1, 0), half=0.3)
+        render_depth.main(base + ["--workspace", ws] + extra)
+        dirs[tag] = os.path.join(ws, "inpaint", "seq", "toy_case", "x1",
+                                 "ours_60", "disp")
+    names = sorted(os.listdir(dirs["seq"]))
+    assert names == sorted(os.listdir(dirs["shard"])) and len(names) == 4
+    for f in names:
+        a = open(os.path.join(dirs["seq"], f), "rb").read()
+        b = open(os.path.join(dirs["shard"], f), "rb").read()
+        assert a == b

@@ -113,6 +113,10 @@ class RenderOutput(NamedTuple):
     # corrupted and the caller must re-render with a bigger window
     # (grow-and-re-jit, exactly like ``pairs`` vs ``pair_budget``).
     expand_needed: jnp.ndarray = 0
+    # true active (pair-emitting) gaussian count when ``cull_n`` is set
+    # (0 otherwise); > cull_n means actives were dropped — re-render
+    # with a bigger cull capacity (grow-and-re-jit).
+    cull_needed: jnp.ndarray = 0
 
 
 def _tile_pixel_coords(tiles_x: int, tiles_y: int, tile_w: int,
@@ -140,7 +144,7 @@ def _assemble(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile_w: int,
 @partial(jax.jit, static_argnames=("sh_degree", "tile", "pair_budget",
                                    "max_per_tile", "chunk", "backend",
                                    "interpret", "expand_window",
-                                   "band_rows", "band_stride"))
+                                   "band_rows", "band_stride", "cull_n"))
 def render(params: GaussianParams, camera: RenderCamera,
            bg_color: jnp.ndarray, sh_degree: int = 0,
            scaling_modifier: float = 1.0,
@@ -153,7 +157,8 @@ def render(params: GaussianParams, camera: RenderCamera,
            expand_window: int = 0,
            band_rows: Optional[int] = None,
            band_row0: Optional[jnp.ndarray] = None,
-           band_stride: int = 1) -> RenderOutput:
+           band_stride: int = 1,
+           cull_n: Optional[int] = None) -> RenderOutput:
     """Render one view.
 
     ``backend``: "xla" (default) or "pallas" (fused TPU kernels with
@@ -180,6 +185,14 @@ def render(params: GaussianParams, camera: RenderCamera,
     inside its cross-backend tolerance. Output images hold the band's
     rows in LOCAL order (``band_rows*tile_h`` rows; the caller
     stitches/interleaves bands then crops to the frame height).
+
+    ``cull_n`` (static, per-band N-culling): cap the depth-rank
+    compaction at ``cull_n`` active gaussians, shrinking every
+    N-proportional binning/gather stage to that length — the scaling
+    lever for band sharding, where each band touches ~1/D of the
+    scene's actives but otherwise replays full-N work. Identical
+    output while the true active count fits (``cull_needed`` reports
+    it; grow-and-re-jit on overflow like ``pairs``/``expand_needed``).
     """
     n = params.capacity
     tile_h, tile_w = tile
@@ -233,7 +246,7 @@ def render(params: GaussianParams, camera: RenderCamera,
         expand_kernel=(backend == "pallas"), interpret=interpret,
         expand_window=expand_window,
         tile_row0=row0, tiles_y_total=tiles_y_total,
-        tile_row_stride=band_stride)
+        tile_row_stride=band_stride, cull_n=cull_n)
 
     if backend == "pallas":
         if (tile_h * tile_w) % 128 != 0:
@@ -290,7 +303,8 @@ def render(params: GaussianParams, camera: RenderCamera,
                             visibility=proj.radius > 0,
                             pairs=bins.total_pairs,
                             pad_pairs=bins.pad_pairs,
-                            expand_needed=bins.expand_needed)
+                            expand_needed=bins.expand_needed,
+                            cull_needed=bins.cull_needed)
     else:
         pix = _tile_pixel_coords(tiles_x, tiles_y, tile_w, tile_h)
         if row0 is not None:
@@ -316,7 +330,8 @@ def render(params: GaussianParams, camera: RenderCamera,
     return RenderOutput(rgb=rgb, depth=depth, alpha=alpha,
                         radii=proj.radius, visibility=proj.radius > 0,
                         pairs=bins.total_pairs, pad_pairs=bins.pad_pairs,
-                        expand_needed=bins.expand_needed)
+                        expand_needed=bins.expand_needed,
+                        cull_needed=bins.cull_needed)
 
 
 def render_views(params: GaussianParams, cameras, bg_color: jnp.ndarray,

@@ -108,8 +108,10 @@ def pair_attrs_bf16(packed: jnp.ndarray, order: jnp.ndarray,
     """Depth-rank-permute + pair-gather of the packed attribute table
     with bf16 transport; returns the kernel-ready [NROWS, P] f32 array.
 
-    packed [N, 16] f32 (pack_attrs layout); order [N] depth argsort;
-    gid [P] rank-space ids with sentinel N for padding; rank_lo [N+2]
+    packed [N, 16] f32 (pack_attrs layout); order [M] depth argsort —
+    the FULL permutation (M == N) or a ``cull_n`` prefix of it (M < N,
+    per-band N-culling: only the first M depth ranks participate);
+    gid [P] rank-space ids with sentinel M for padding; rank_lo [M+2]
     segment starts in id-sorted pair order (see
     ``segment_reduce.gather_pairs``).
     """
@@ -138,6 +140,7 @@ def _pab_bwd(res, d):
     reduction; bf16 transport only for the latency-bound regroup
     gather)."""
     order, gid, rank_lo, n = res
+    m = order.shape[0]          # rank-space size (== n unless culled)
     nrows, p = d.shape
     # TERM-MAJOR vectorized 3-term split: whole-array mask ops on
     # [NROWS, P] (a per-row python loop + stack lowered to 48 separate
@@ -151,13 +154,20 @@ def _pab_bwd(res, d):
           + gg_bf[:, nrows:2 * nrows].astype(jnp.float32)
           + gg_bf[:, 2 * nrows:3 * nrows].astype(jnp.float32))
     # Sentinel-id slots (padding) must not ride the prefix.
-    gg = jnp.where((gid_s < n)[:, None], gg, 0.0)
+    gg = jnp.where((gid_s < m)[:, None], gg, 0.0)
     cum = jnp.concatenate(
         [jnp.zeros((1, nrows), jnp.float32), _blocked_cumsum_f32(gg)])
-    ends = cum[rank_lo]                             # [N+2, 16]
-    d_rank = ends[1:] - ends[:-1]                   # [N+1, 16]
-    d_rank = d_rank[:n]                             # drop sentinel row
-    d_packed = safe_gather(d_rank, jnp.argsort(order))
+    ends = cum[rank_lo]                             # [M+2, 16]
+    d_rank = ends[1:] - ends[:-1]                   # [M+1, 16]
+    d_rank = d_rank[:m]                             # drop sentinel row
+    if m == n:
+        d_packed = safe_gather(d_rank, jnp.argsort(order))
+    else:
+        # Culled rank space: ``order`` is a prefix, not a permutation —
+        # scatter the M rank rows home (unique targets); culled
+        # gaussians contributed no pixels, so their grad is zero.
+        d_packed = jnp.zeros((n, d_rank.shape[1]), jnp.float32
+                             ).at[order].set(d_rank, mode="drop")
     return d_packed, None, None, None
 
 

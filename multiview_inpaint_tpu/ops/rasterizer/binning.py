@@ -70,6 +70,11 @@ class TileBins(NamedTuple):
     # this frame and the caller must re-jit with a bigger window (the
     # kernel costs ~P*window/128 MXU cycles — keep it tight).
     expand_needed: jnp.ndarray = 0
+    # true count of pair-emitting gaussians when ``cull_n`` is set
+    # (0 otherwise): > cull_n means actives were dropped this frame and
+    # the caller must re-jit with a bigger cull capacity (adaptive, like
+    # pair_budget / expand_window growth).
+    cull_needed: jnp.ndarray = 0
 
 
 def _delta(v):
@@ -135,7 +140,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   expand_window: int = 0,
                   tile_row0: jnp.ndarray | None = None,
                   tiles_y_total: int | None = None,
-                  tile_row_stride: int = 1) -> TileBins:
+                  tile_row_stride: int = 1,
+                  cull_n: int | None = None) -> TileBins:
     """``aligned_chunk`` > 0 selects the Pallas segment layout. With
     packed keys the layout is UNALIGNED (no padding pairs at all — the
     kernels DMA from the 128-aligned enclosing window and mask lanes);
@@ -152,7 +158,20 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     balance across devices: adjacent rows have similar splat loads).
     Rects are computed in GLOBAL tile coordinates and intersected with
     the row set in integer space, so a band's per-tile pair lists are
-    exactly the full frame's (bit-identical compositing)."""
+    exactly the full frame's (bit-identical compositing).
+
+    ``cull_n`` (static, packed-key path only): cap the depth-rank
+    compaction at the first ``cull_n`` ACTIVE (pair-emitting) gaussians
+    and run every downstream N-proportional stage (rect permutation
+    gather, cumsums, expansion table, coverage histogram — and, via the
+    truncated ``order``, the caller's attribute gathers) at that length.
+    The depth argsort already moves count>0 gaussians to a prefix, so
+    when the frame's true active count fits, results are IDENTICAL to
+    the unculled path; overflow is reported in ``cull_needed`` (the true
+    active count) for grow-and-re-jit. The per-band N-culling lever for
+    >8-chip band sharding (PERF.md): a stride-D band touches ~1/D of
+    the scene's actives, but without culling every band replays the
+    full-N gathers."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
     ty_clip = tiles_y if tiles_y_total is None else tiles_y_total
@@ -208,11 +227,21 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     # Keying on count>0 (not radius>0) also compacts covering gaussians
     # to the front, which the Pallas expansion kernel requires (strictly
     # increasing starts over the active prefix).
-    gid_bits = max(1, n.bit_length())  # 2**bits > n: room for sentinel n
+    nm = n if cull_n is None else min(int(cull_n), n)
+    gid_bits = max(1, nm.bit_length())  # 2**bits > nm: room for sentinel
     packed_ok = (num_tiles + 1) < (1 << (31 - gid_bits))
+    cull = nm < n
+    if cull and (not packed_ok or aux is not None):
+        raise ValueError("cull_n needs the packed-key path (and no aux "
+                         "rows): the cull IS the depth-rank compaction")
+    cull_needed = jnp.int32(0)
     aux_sorted = None
     if packed_ok:
         order = jnp.argsort(jnp.where(count > 0, depth, jnp.inf))
+        if cull:
+            # True active count BEFORE truncation: the overflow signal.
+            cull_needed = jnp.sum((count > 0).astype(jnp.int32))
+            order = order[:nm]
         if aux is not None:
             # Legacy combined N-row gather for callers that still ride
             # attribute rows along the rect permutation (experiment
@@ -256,9 +285,9 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         order = None
         active = count > 0
 
-    ends = jnp.cumsum(count)          # inclusive; [N]
+    ends = jnp.cumsum(count)          # inclusive; [NM]
     starts = ends - count
-    total = ends[-1] if n > 0 else jnp.int32(0)
+    total = ends[-1] if nm > 0 else jnp.int32(0)
 
     if expand_kernel and packed_ok:
         # Pallas expansion: per-slot packed keys via windowed indicator
@@ -269,7 +298,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         from .pair_expand import expand_keys
 
         key, expand_needed = expand_keys(
-            starts.astype(jnp.int32), x0, y0, rect_w, active, total, n,
+            starts.astype(jnp.int32), x0, y0, rect_w, active, total, nm,
             gid_bits, tiles_x, pair_budget, window=expand_window,
             interpret=interpret)
     else:
@@ -280,7 +309,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         # accumulate their deltas, which telescopes correctly).
         expand_needed = jnp.int32(0)
         gid_c, tile, invalid = _expand_slots(
-            starts, x0, y0, rect_w, total, n, tiles_x, num_tiles,
+            starts, x0, y0, rect_w, total, nm, tiles_x, num_tiles,
             pair_budget)
         if packed_ok:
             key = jnp.where(invalid, _INT_MAX, (tile << gid_bits) | gid_c)
@@ -289,17 +318,18 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
 
     if aligned_chunk and packed_ok:
         return _seg_bins(key, active, x0, y0, rect_w, starts, ends,
-                         total, n, gid_bits, tiles_x, tiles_y,
+                         total, nm, gid_bits, tiles_x, tiles_y,
                          num_tiles, pair_budget,
                          order)._replace(aux_sorted=aux_sorted,
-                                         expand_needed=expand_needed)
+                                         expand_needed=expand_needed,
+                                         cull_needed=cull_needed)
 
     if packed_ok:
         key_s = jnp.sort(key)
         tile_s = jnp.where(key_s == _INT_MAX, num_tiles,
                            key_s >> gid_bits).astype(jnp.int32)
         # gid stays in depth-RANK space: callers index params[order].
-        gid_s = jnp.where(key_s == _INT_MAX, n,
+        gid_s = jnp.where(key_s == _INT_MAX, nm,
                           key_s & ((1 << gid_bits) - 1)).astype(jnp.int32)
     else:
         # Lexicographic (tile, depth) sort over all operands.
@@ -318,7 +348,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         ids = gid_s[idx]
         if packed_ok:
             # XLA-path consumers index original-order arrays.
-            ids = order[jnp.clip(ids, 0, n - 1)].astype(jnp.int32)
+            ids = order[jnp.clip(ids, 0, nm - 1)].astype(jnp.int32)
         valid = k[None, :] < jnp.minimum(counts, max_per_tile)[:, None]
     else:
         ids = jnp.zeros((0, 0), jnp.int32)
@@ -354,7 +384,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     return TileBins(ids=ids, valid=valid, counts=counts,
                     total_pairs=total, gid_sorted=gid_s,
                     seg_start=seg_start.astype(jnp.int32), order=order,
-                    aux_sorted=aux_sorted)
+                    aux_sorted=aux_sorted, cull_needed=cull_needed)
 
 
 def _seg_bins(key, active, x0, y0, rect_w, starts, ends, total, n,

@@ -133,7 +133,13 @@ def render_frame_sharded(params, camera, bg_color, mesh: Mesh,
     ``pair_budget``/``max_per_tile`` apply PER BAND: a band holds ~1/D
     of the frame's pairs, so the per-band budget can shrink accordingly
     (interleaving makes ~1/D tight; contiguous bands need slack for
-    uneven vertical splat distributions)."""
+    uneven vertical splat distributions). ``cull_n`` passes through the
+    same way (per-band N-culling): an interleaved band touches roughly
+    ``N_active/D`` gaussians (a splat spanning ``h`` tile rows hits a
+    stride-D band with probability ~min(1, h/D)), so shrinking the cull
+    capacity accordingly removes the replicated N-proportional gather
+    floor — the lever that keeps band sharding scaling past 8 chips.
+    Overflow reports in ``cull_needed`` like the other budgets."""
     cam = (camera if isinstance(camera, RenderCamera)
            else RenderCamera.from_camera(camera))
     tile_h = kwargs.get("tile", (16, 16))[0]
@@ -193,4 +199,5 @@ def render_frame_sharded(params, camera, bg_color, mesh: Mesh,
         alpha=stitch(out.alpha),
         radii=out.radii[0], visibility=out.visibility[0],
         pairs=out.pairs.sum(), pad_pairs=out.pad_pairs.sum(),
-        expand_needed=out.expand_needed.max())
+        expand_needed=out.expand_needed.max(),
+        cull_needed=jnp.asarray(out.cull_needed).max())

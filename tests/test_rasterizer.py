@@ -694,3 +694,90 @@ def test_interleaved_band_render_matches_full_frame():
         np.testing.assert_allclose(np.asarray(sh.depth),
                                    np.asarray(full.depth), atol=2e-5)
         assert int(sh.pairs) == int(full.pairs)
+
+
+def test_band_cull_identical_and_overflow_flag():
+    """Per-band N-culling (``cull_n``): with capacity >= the band's true
+    active count the output is IDENTICAL to the unculled band on BOTH
+    backends — the cull only truncates the already-compacted depth-rank
+    prefix, so pairs, segment starts and chunk boundaries are unchanged
+    — gradients match (exercises the scatter branch of the
+    pair_attrs_bf16 VJP), and ``cull_needed`` reports the true active
+    count; with capacity below it the overflow flag fires."""
+    import dataclasses
+
+    rng = np.random.default_rng(31)
+    n = 80
+    p = _make_params(rng.normal(0, 0.7, (n, 3)),
+                     rng.random((n, 3)),
+                     rng.uniform(0.3, 0.95, (n, 1)),
+                     rng.uniform(0.05, 0.25, (n, 3)))
+    cam = cameras.make_camera(0, np.eye(3), np.array([0.0, 0.0, 4.0]),
+                              fovx=0.9, fovy=1.2, width=64, height=128)
+    rc = RenderCamera.from_camera(cam)
+    bg = jnp.asarray([0.15, 0.3, 0.45])
+    kw = dict(max_per_tile=64, pair_budget=8 * p.capacity, band_rows=2,
+              band_row0=jnp.int32(1), band_stride=4)
+    for backend, interp in (("xla", False), ("pallas", True)):
+        base = rasterizer.render(p, rc, bg, backend=backend,
+                                 interpret=interp, **kw)
+        assert int(base.cull_needed) == 0   # cull off -> no signal
+        # cull_n = n-1 engages the cull path and reports the TRUE band
+        # active count (it cannot overflow only if act < n; checked).
+        probe = rasterizer.render(p, rc, bg, backend=backend,
+                                  interpret=interp, cull_n=n - 1, **kw)
+        act = int(probe.cull_needed)
+        assert 0 < act < n - 1, act   # band must genuinely cull
+        culled = rasterizer.render(p, rc, bg, backend=backend,
+                                   interpret=interp, cull_n=act + 2, **kw)
+        assert int(culled.cull_needed) == act
+        np.testing.assert_array_equal(np.asarray(culled.rgb),
+                                      np.asarray(base.rgb))
+        np.testing.assert_array_equal(np.asarray(culled.depth),
+                                      np.asarray(base.depth))
+        np.testing.assert_array_equal(np.asarray(culled.alpha),
+                                      np.asarray(base.alpha))
+        assert int(culled.pairs) == int(base.pairs)
+        # Overflow: capacity below the true active count must flag.
+        over = rasterizer.render(p, rc, bg, backend=backend,
+                                 interpret=interp, cull_n=8, **kw)
+        assert int(over.cull_needed) == act > 8
+
+        tgt = jnp.asarray(rng.random((32, 64, 3)), jnp.float32)
+
+        def loss(xyz, cull):
+            out = rasterizer.render(dataclasses.replace(p, xyz=xyz), rc,
+                                    bg, backend=backend,
+                                    interpret=interp, cull_n=cull, **kw)
+            return jnp.sum((out.rgb - tgt) ** 2)
+
+        g0 = jax.grad(loss)(p.xyz, None)
+        g1 = jax.grad(loss)(p.xyz, act + 2)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_render_frame_sharded_with_cull():
+    """``cull_n`` through the band-sharded wrapper: stitched frame
+    matches the full render, worst-band active count reported."""
+    from multiview_inpaint_tpu.parallel import make_mesh
+    from multiview_inpaint_tpu.parallel.render_parallel import (
+        render_frame_sharded)
+
+    rng = np.random.default_rng(29)
+    n = 60
+    p = _make_params(rng.normal(0, 0.7, (n, 3)),
+                     rng.random((n, 3)),
+                     rng.uniform(0.3, 0.95, (n, 1)),
+                     rng.uniform(0.05, 0.25, (n, 3)))
+    cam = cameras.make_camera(0, np.eye(3), np.array([0.0, 0.0, 4.0]),
+                              fovx=0.9, fovy=0.8, width=64, height=56)
+    rc = RenderCamera.from_camera(cam)
+    bg = jnp.asarray([0.15, 0.3, 0.45])
+    kw = dict(max_per_tile=64, pair_budget=8 * p.capacity)
+    full = rasterizer.render(p, rc, bg, **kw)
+    sh = render_frame_sharded(p, rc, bg, make_mesh(8), cull_n=n - 1, **kw)
+    np.testing.assert_allclose(np.asarray(sh.rgb), np.asarray(full.rgb),
+                               atol=2e-6)
+    assert int(sh.pairs) == int(full.pairs)
+    assert 0 < int(sh.cull_needed) < n

@@ -432,11 +432,23 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"band projection skipped: {e}", file=sys.stderr)
 
+    # Self-description: vs_baseline is FPS/100 against BASELINE.md's
+    # ">=100 FPS per chip on TPU v5p" north star, but this container's
+    # chip is a v5e-lite (measured ceilings in `breakdown.ceilings`;
+    # v5p's published HBM/MXU rates are ~2-2.5x v5e's). The band_8chip_*
+    # rows are PROJECTIONS from single-chip band timings (worst band x
+    # 8) — real multi-chip hardware is not available here; correctness
+    # of the sharded path is gated by the virtual-mesh dryrun instead.
     print(json.dumps({
         "metric": "splat_render_1080p_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 100.0, 3),
+        "hardware": ("1x TPU v5e-lite via axon tunnel; the >=100 FPS "
+                     "target names v5p (~2-2.5x v5e per-chip rates)"),
+        "multi_chip_note": ("band_8chip_*_fps are projections "
+                            "(worst single-chip band x 8 chips); "
+                            "virtual-mesh dryrun gates correctness"),
         "breakdown": breakdown,
     }))
 

@@ -163,11 +163,20 @@ def _pab_bwd(res, d):
     if m == n:
         d_packed = safe_gather(d_rank, jnp.argsort(order))
     else:
-        # Culled rank space: ``order`` is a prefix, not a permutation —
-        # scatter the M rank rows home (unique targets); culled
-        # gaussians contributed no pixels, so their grad is zero.
-        d_packed = jnp.zeros((n, d_rank.shape[1]), jnp.float32
-                             ).at[order].set(d_rank, mode="drop")
+        # Culled rank space: ``order`` is a prefix, not a permutation.
+        # A direct .at[order].set row scatter serializes per row on TPU;
+        # instead sort the M (target, rank) pairs and align them to the
+        # full id range with a searchsorted — sort + two gathers, all
+        # fast primitives. Culled gaussians contributed no pixels, so
+        # their grad is zero.
+        ids = jnp.arange(n, dtype=jnp.int32)
+        tgt_s, rank_s = jax.lax.sort(
+            (order.astype(jnp.int32), jnp.arange(m, dtype=jnp.int32)),
+            num_keys=1)
+        pos = jnp.minimum(jnp.searchsorted(tgt_s, ids), m - 1)
+        hit = tgt_s[pos] == ids
+        d_packed = jnp.where(hit[:, None],
+                             safe_gather(d_rank, rank_s[pos]), 0.0)
     return d_packed, None, None, None
 
 

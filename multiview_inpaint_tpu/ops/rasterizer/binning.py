@@ -173,6 +173,10 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     the scene's actives, but without culling every band replays the
     full-N gathers."""
     n = means2d.shape[0]
+    if cull_n is not None and int(cull_n) < 1:
+        # nm = 0 would make order empty and every downstream clip
+        # degenerate (max < min on an empty array) — fail loudly.
+        raise ValueError(f"cull_n must be >= 1, got {cull_n}")
     num_tiles = tiles_x * tiles_y
     ty_clip = tiles_y if tiles_y_total is None else tiles_y_total
 
@@ -238,9 +242,13 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     aux_sorted = None
     if packed_ok:
         order = jnp.argsort(jnp.where(count > 0, depth, jnp.inf))
-        if cull:
+        if cull_n is not None:
             # True active count BEFORE truncation: the overflow signal.
+            # Computed whenever cull_n is set (even cull_n >= n, where
+            # the truncation is a no-op) so probes can always read the
+            # frame's active count — the sum is cheap.
             cull_needed = jnp.sum((count > 0).astype(jnp.int32))
+        if cull:
             order = order[:nm]
         if aux is not None:
             # Legacy combined N-row gather for callers that still ride

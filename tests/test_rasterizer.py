@@ -728,6 +728,11 @@ def test_band_cull_identical_and_overflow_flag():
                                   interpret=interp, cull_n=n - 1, **kw)
         act = int(probe.cull_needed)
         assert 0 < act < n - 1, act   # band must genuinely cull
+        # cull_n >= n makes the truncation a no-op but still reports
+        # the active count, so a cull_n=n probe can measure it.
+        eq = rasterizer.render(p, rc, bg, backend=backend,
+                               interpret=interp, cull_n=n, **kw)
+        assert int(eq.cull_needed) == act
         culled = rasterizer.render(p, rc, bg, backend=backend,
                                    interpret=interp, cull_n=act + 2, **kw)
         assert int(culled.cull_needed) == act
@@ -755,6 +760,9 @@ def test_band_cull_identical_and_overflow_flag():
         g1 = jax.grad(loss)(p.xyz, act + 2)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                    rtol=1e-6, atol=1e-7)
+
+    with pytest.raises(ValueError):
+        rasterizer.render(p, rc, bg, cull_n=0, **kw)
 
 
 def test_render_frame_sharded_with_cull():

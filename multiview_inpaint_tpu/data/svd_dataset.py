@@ -50,6 +50,15 @@ HINT_MODES = {
     "nodepth": 4,     # mask(1) | frames*(1-mask)(3)
     "frames_only": 3,  # frames*(1-mask)(3)         ("nomask" ablation)
     "extended": 8,    # depth(3) | mask(1) | frames*(1-mask)(3) | (1-mask)
+    # GS_VideoForwardDataset4 (my_dataset.py:1324-1396): UNMASKED frames
+    # ride the hint — depth(3) | mask(1) | frames(3) | (1-mask)
+    "extended_unmasked": 8,
+    # SimpNobg ablation (my_dataset.py:1635-1714 / 2499-2575): hint
+    # carries no frame content at all — depth(3) | mask(1)
+    "no_frames": 4,
+    # SimpNomask ablation (my_dataset.py:1715-1797 / 2576-2652):
+    # depth(3) | frames*(1-mask)(3)
+    "nomask": 6,
 }
 
 
@@ -154,19 +163,28 @@ def compute_poses2(poses: np.ndarray,
 
 def _video_batch(frames, controls, masks, cond_frame, fps_id,
                  motion_bucket_id, cond_aug, rng=None,
-                 hint_mode: str = "full") -> Dict:
+                 hint_mode: str = "full", hint_frames=None) -> Dict:
     frames = np.stack(frames)         # [T, H, W, 3] in [-1, 1]
     controls = np.stack(controls)     # [T, H, W, 3] in [0, 1]
     masks = np.stack(masks)           # [T, H, W, 1] in [0, 1]
     bg = 1.0 - masks
+    # hint_frames: alternate frame source for the hint channels only
+    # (EstSVDForwardDataset3's pre-inpainted frames, my_dataset.py:2325)
+    hf = np.stack(hint_frames) if hint_frames is not None else frames
     if hint_mode == "nodepth":
-        hint = np.concatenate([masks, frames * bg], axis=-1)
+        hint = np.concatenate([masks, hf * bg], axis=-1)
     elif hint_mode == "frames_only":
-        hint = frames * bg
+        hint = hf * bg
     elif hint_mode == "extended":
-        hint = np.concatenate([controls, masks, frames * bg, bg], axis=-1)
+        hint = np.concatenate([controls, masks, hf * bg, bg], axis=-1)
+    elif hint_mode == "extended_unmasked":
+        hint = np.concatenate([controls, masks, hf, bg], axis=-1)
+    elif hint_mode == "no_frames":
+        hint = np.concatenate([controls, masks], axis=-1)
+    elif hint_mode == "nomask":
+        hint = np.concatenate([controls, hf * bg], axis=-1)
     else:
-        hint = np.concatenate([controls, masks, frames * bg], axis=-1)
+        hint = np.concatenate([controls, masks, hf * bg], axis=-1)
     t = frames.shape[0]
     noise = (rng.standard_normal(cond_frame.shape).astype(np.float32)
              if rng is not None else 0.0)
@@ -242,12 +260,23 @@ class EstSVDForwardDataset:
     ``pose_cond`` emits ``azimuths_rad``/``polars_rad``/``rad`` computed
     from each scene's ``poses.npy`` via :func:`compute_poses` (SV3D-style
     vector conditioning; reference dataset variants at
-    ``my_dataset.py:351-366``)."""
+    ``my_dataset.py:351-366``); ``pose_fn="v2"`` uses
+    :func:`compute_poses2` (SV3D wrapped ranges, the SV3D*Dataset
+    variants). ``depth_dir`` selects the control-image directory —
+    ``est_depth`` (Est* family), ``depth`` (rendered-depth family) or
+    ``disparity`` (SVDForwardDataset3, my_dataset.py:2812-2895).
+    ``reversal=False`` disables the sequence-reversal augmentation (the
+    Least/Inpaint variants sample forward only). ``sample_id`` pins
+    every draw to one scene and ``repeat`` sets the epoch length
+    (BlendingDataset my_dataset.py:2896-2969 / SingleVideoDataset:142)."""
 
     def __init__(self, data_root: str, size=(512, 384),
                  motion_bucket_id=127, fps_id=6, num_frames=14,
                  cond_aug=0.0, seed=0, hint_mode: str = "full",
-                 mask_shrink_k: float = 0.0, pose_cond: bool = False):
+                 mask_shrink_k: float = 0.0, pose_cond: bool = False,
+                 pose_fn: str = "v1", depth_dir: str = "est_depth",
+                 reversal: bool = True, sample_id: int | None = None,
+                 repeat: int = 1, hint_frames_dir: str | None = None):
         self.hint_mode = hint_mode
         self.root = data_root
         self.size = tuple(size)
@@ -257,12 +286,20 @@ class EstSVDForwardDataset:
         self.cond_aug = cond_aug
         self.mask_shrink_k = mask_shrink_k
         self.pose_cond = pose_cond
+        self.pose_fn = pose_fn
+        self.depth_dir = depth_dir
+        self.reversal = reversal
+        self.sample_id = sample_id
+        self.repeat = repeat
+        self.hint_frames_dir = hint_frames_dir
         self.scene_ids = sorted(os.listdir(data_root))
         self.rng = random.Random(seed)
         self.np_rng = np.random.default_rng(seed)
 
     def __len__(self):
-        return len(self.scene_ids)
+        if self.sample_id is not None:
+            return int(self.repeat)
+        return len(self.scene_ids) * int(self.repeat)
 
     def _maybe_shrink(self, mask):
         if self.mask_shrink_k <= 0:
@@ -271,31 +308,43 @@ class EstSVDForwardDataset:
         return mask if shrunk is None else shrunk[..., None]
 
     def __getitem__(self, index) -> Dict:
+        if self.sample_id is not None:
+            index = self.sample_id
+        else:
+            index = index % len(self.scene_ids)
         root = os.path.join(self.root, f"{index:09d}")
-        frames, controls, masks = [], [], []
+        frames, controls, masks, hframes = [], [], [], []
         for i in range(self.num_frames):
             v = f"{i:05d}"
             frames.append(_load(f"{root}/rgb/{v}.png", self.size))
-            controls.append(_load(f"{root}/est_depth/{v}.png", self.size,
-                                  scale=False))
+            controls.append(_load(f"{root}/{self.depth_dir}/{v}.png",
+                                  self.size, scale=False))
             masks.append(self._maybe_shrink(
                 _load(f"{root}/masks/{v}.png", self.size,
                       scale=False, grayscale=True)))
+            if self.hint_frames_dir:
+                hframes.append(_load(
+                    f"{root}/{self.hint_frames_dir}/{v}.png", self.size))
         poses = (np.load(os.path.join(root, "poses.npy"))
                  if self.pose_cond else None)
-        if self.rng.random() > 0.5:  # sequence reversal augmentation
+        if self.reversal and self.rng.random() > 0.5:  # reversal aug
             frames.reverse()
             controls.reverse()
             masks.reverse()
+            hframes.reverse()
             if poses is not None:
                 poses = poses[::-1]
         cond = frames[0].copy()
         batch = _video_batch(frames, controls, masks, cond, self.fps_id,
                              self.motion_bucket_id, self.cond_aug,
                              rng=self.np_rng if self.cond_aug > 0 else
-                             None, hint_mode=self.hint_mode)
+                             None, hint_mode=self.hint_mode,
+                             hint_frames=hframes or None)
         if poses is not None:
-            az, po, rad = compute_poses(poses)
+            fn = compute_poses2 if self.pose_fn == "v2" else compute_poses
+            cc_path = os.path.join(root, "cam_center.npy")
+            cc = np.load(cc_path) if os.path.exists(cc_path) else None
+            az, po, rad = fn(poses, cam_center=cc)
             batch["azimuths_rad"] = az.astype(np.float32)
             batch["polars_rad"] = po.astype(np.float32)
             batch["rad"] = rad.astype(np.float32)

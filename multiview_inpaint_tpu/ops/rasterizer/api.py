@@ -144,7 +144,8 @@ def _assemble(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile_w: int,
 @partial(jax.jit, static_argnames=("sh_degree", "tile", "pair_budget",
                                    "max_per_tile", "chunk", "backend",
                                    "interpret", "expand_window",
-                                   "band_rows", "band_stride", "cull_n"))
+                                   "band_rows", "band_stride", "cull_n",
+                                   "force_wide"))
 def render(params: GaussianParams, camera: RenderCamera,
            bg_color: jnp.ndarray, sh_degree: int = 0,
            scaling_modifier: float = 1.0,
@@ -158,7 +159,8 @@ def render(params: GaussianParams, camera: RenderCamera,
            band_rows: Optional[int] = None,
            band_row0: Optional[jnp.ndarray] = None,
            band_stride: int = 1,
-           cull_n: Optional[int] = None) -> RenderOutput:
+           cull_n: Optional[int] = None,
+           force_wide: bool = False) -> RenderOutput:
     """Render one view.
 
     ``backend``: "xla" (default) or "pallas" (fused TPU kernels with
@@ -193,6 +195,12 @@ def render(params: GaussianParams, camera: RenderCamera,
     scene's actives but otherwise replays full-N work. Identical
     output while the true active count fits (``cull_needed`` reports
     it; grow-and-re-jit on overflow like ``pairs``/``expand_needed``).
+
+    Reference-scale N (pallas backend): when ``tile_bits +
+    ceil(log2(N))`` exceeds 31 the binning automatically switches to
+    wide (tile, rank) sort keys (see ``binning.bin_gaussians``), so
+    multi-million-gaussian scenes render on the same fused path.
+    ``force_wide`` pins that encoding at small N (tests / A-B timing).
     """
     n = params.capacity
     tile_h, tile_w = tile
@@ -246,7 +254,8 @@ def render(params: GaussianParams, camera: RenderCamera,
         expand_kernel=(backend == "pallas"), interpret=interpret,
         expand_window=expand_window,
         tile_row0=row0, tiles_y_total=tiles_y_total,
-        tile_row_stride=band_stride, cull_n=cull_n)
+        tile_row_stride=band_stride, cull_n=cull_n,
+        force_wide=force_wide)
 
     if backend == "pallas":
         if (tile_h * tile_w) % 128 != 0:

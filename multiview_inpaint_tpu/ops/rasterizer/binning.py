@@ -141,7 +141,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   tile_row0: jnp.ndarray | None = None,
                   tiles_y_total: int | None = None,
                   tile_row_stride: int = 1,
-                  cull_n: int | None = None) -> TileBins:
+                  cull_n: int | None = None,
+                  force_wide: bool = False) -> TileBins:
     """``aligned_chunk`` > 0 selects the Pallas segment layout. With
     packed keys the layout is UNALIGNED (no padding pairs at all — the
     kernels DMA from the 128-aligned enclosing window and mask lanes);
@@ -171,7 +172,18 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     active count) for grow-and-re-jit. The per-band N-culling lever for
     >8-chip band sharding (PERF.md): a stride-D band touches ~1/D of
     the scene's actives, but without culling every band replays the
-    full-N gathers."""
+    full-N gathers.
+
+    Wide keys (reference-scale N): the packed ``tile << gid_bits |
+    rank`` int32 key needs ``tile_bits + ceil(log2(N))`` <= 31 bits —
+    at 1080p's 8160 tiles that caps N at 2^18 = 262k, while the
+    reference's Mip-360 scenes run 1-6M gaussians
+    (``gs-simp/scene/gaussian_model.py`` densification). When the bits
+    don't fit (or ``force_wide`` is set, for tests/A-B), the pallas
+    segment path keeps the SAME compaction/expansion/histogram
+    pipeline but carries ``(tile, rank)`` as two int32 arrays and
+    sorts them lexicographically (``lax.sort num_keys=2``) — exact
+    same pair order, any N."""
     n = means2d.shape[0]
     if cull_n is not None and int(cull_n) < 1:
         # nm = 0 would make order empty and every downstream clip
@@ -233,14 +245,21 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     # increasing starts over the active prefix).
     nm = n if cull_n is None else min(int(cull_n), n)
     gid_bits = max(1, nm.bit_length())  # 2**bits > nm: room for sentinel
-    packed_ok = (num_tiles + 1) < (1 << (31 - gid_bits))
+    packed_ok = ((num_tiles + 1) < (1 << (31 - gid_bits))
+                 and not force_wide)
+    # Wide (tile, rank) keys keep the fast rank path alive at any N on
+    # the pallas segment layout; the dense-[T, K] XLA layout falls back
+    # to the generic lexicographic path instead.
+    wide = (not packed_ok) and aligned_chunk > 0
+    use_rank = packed_ok or wide
     cull = nm < n
-    if cull and (not packed_ok or aux is not None):
-        raise ValueError("cull_n needs the packed-key path (and no aux "
-                         "rows): the cull IS the depth-rank compaction")
+    if cull and (not use_rank or aux is not None):
+        raise ValueError("cull_n needs the rank-compaction path (and no "
+                         "aux rows): the cull IS the depth-rank "
+                         "compaction")
     cull_needed = jnp.int32(0)
     aux_sorted = None
-    if packed_ok:
+    if use_rank:
         order = jnp.argsort(jnp.where(count > 0, depth, jnp.inf))
         if cull_n is not None:
             # True active count BEFORE truncation: the overflow signal.
@@ -297,7 +316,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     starts = ends - count
     total = ends[-1] if nm > 0 else jnp.int32(0)
 
-    if expand_kernel and packed_ok:
+    if expand_kernel and use_rank:
         # Pallas expansion: per-slot packed keys via windowed indicator
         # matmuls — the delta-scatter below serializes per row on TPU
         # (4.4 ms at 1080p) while the kernel streams (see
@@ -308,7 +327,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
         key, expand_needed = expand_keys(
             starts.astype(jnp.int32), x0, y0, rect_w, active, total, nm,
             gid_bits, tiles_x, pair_budget, window=expand_window,
-            interpret=interpret)
+            interpret=interpret, wide=wide)
     else:
         # Pair slot j belongs to gaussian i = last index with
         # starts[i] <= j. ONE small scatter of per-gaussian deltas at the
@@ -321,10 +340,13 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
             pair_budget)
         if packed_ok:
             key = jnp.where(invalid, _INT_MAX, (tile << gid_bits) | gid_c)
+        elif wide:
+            key = (jnp.where(invalid, _INT_MAX, tile),
+                   jnp.where(invalid, _INT_MAX, gid_c))
         else:
             key = None
 
-    if aligned_chunk and packed_ok:
+    if aligned_chunk and use_rank:
         return _seg_bins(key, active, x0, y0, rect_w, starts, ends,
                          total, nm, gid_bits, tiles_x, tiles_y,
                          num_tiles, pair_budget,
@@ -416,28 +438,61 @@ def _seg_bins(key, active, x0, y0, rect_w, starts, ends, total, n,
     q = emit // w
     rem = emit - q * w
 
-    ty = jnp.arange(tiles_y, dtype=jnp.int32)[None, :]   # [1, TY]
-    tx = jnp.arange(tiles_x, dtype=jnp.int32)[None, :]   # [1, TX]
-    y0c = y0[:, None]
-    x0c = x0[:, None]
-    uf = ((ty >= y0c) & (ty < y0c + q[:, None])).astype(jnp.float32)
-    vf = ((tx >= x0c) & (tx < x0c + w[:, None])).astype(jnp.float32)
-    up = ((ty == y0c + q[:, None]) & (rem[:, None] > 0)).astype(
-        jnp.float32)
-    vp = ((tx >= x0c) & (tx < x0c + rem[:, None])).astype(jnp.float32)
-    hist = uf.T @ vf + up.T @ vp                          # [TY, TX]
+    def _cov_hist(x0b, y0b, wb, qb, remb):
+        ty = jnp.arange(tiles_y, dtype=jnp.int32)[None, :]   # [1, TY]
+        tx = jnp.arange(tiles_x, dtype=jnp.int32)[None, :]   # [1, TX]
+        y0c = y0b[:, None]
+        x0c = x0b[:, None]
+        # bf16 indicators are exact (0/1); f32 accumulation keeps the
+        # sums exact (< 2^24) and halves the operand traffic vs f32.
+        uf = ((ty >= y0c) & (ty < y0c + qb[:, None])).astype(
+            jnp.bfloat16)
+        vf = ((tx >= x0c) & (tx < x0c + wb[:, None])).astype(
+            jnp.bfloat16)
+        up = ((ty == y0c + qb[:, None]) & (remb[:, None] > 0)).astype(
+            jnp.bfloat16)
+        vp = ((tx >= x0c) & (tx < x0c + remb[:, None])).astype(
+            jnp.bfloat16)
+        dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dot(uf, vf) + dot(up, vp)                  # [TY, TX]
+
+    # At reference-scale N the [N, TY]/[N, TX] indicator operands are
+    # gigabytes; accumulate the (exact) histogram over fixed N-chunks.
+    NCHUNK = 1 << 19
+    if n <= NCHUNK:
+        hist = _cov_hist(x0, y0, w, q, rem)
+    else:
+        npad = -(-n // NCHUNK) * NCHUNK
+        pad1 = lambda a: jnp.pad(  # noqa: E731
+            a, (0, npad - n)).reshape(-1, NCHUNK)
+        # padded rows carry q = rem = 0 -> all-zero indicator rows.
+        hist = jax.lax.scan(
+            lambda acc, xs: (acc + _cov_hist(*xs), None),
+            jnp.zeros((tiles_y, tiles_x), jnp.float32),
+            (pad1(x0), pad1(y0), pad1(w), pad1(q), pad1(rem)))[0]
     counts = jnp.round(hist).astype(jnp.int32).reshape(num_tiles)
 
     seg_start = (jnp.cumsum(counts) - counts).astype(jnp.int32)
 
-    # Unstable single-operand sort: jnp.sort is stable by default, which
-    # makes XLA carry an iota payload through every pass. Equal keys are
-    # interchangeable here (the key IS the payload).
-    import jax
-    (key_s,) = jax.lax.sort((key,), is_stable=False)
-    mask = jnp.int32((1 << gid_bits) - 1)
-    gid_s = jnp.minimum(key_s & mask, n).astype(jnp.int32)
-    gid_s = jnp.where(key_s == _INT_MAX, n, gid_s)
+    if isinstance(key, tuple):
+        # Wide keys: lexicographic (tile, rank) sort — both int32, any
+        # N. Within a tile ranks are unique, so the order is exactly
+        # the packed sort's. Invalid slots carry (INT_MAX, INT_MAX)
+        # and sort to the end.
+        tile_k, rank_k = key
+        tile_s, rank_s = jax.lax.sort((tile_k, rank_k), num_keys=2)
+        gid_s = jnp.where(tile_s == _INT_MAX, n,
+                          jnp.minimum(rank_s, n)).astype(jnp.int32)
+    else:
+        # Unstable single-operand sort: jnp.sort is stable by default,
+        # which makes XLA carry an iota payload through every pass.
+        # Equal keys are interchangeable here (the key IS the payload).
+        (key_s,) = jax.lax.sort((key,), is_stable=False)
+        mask = jnp.int32((1 << gid_bits) - 1)
+        gid_s = jnp.minimum(key_s & mask, n).astype(jnp.int32)
+        gid_s = jnp.where(key_s == _INT_MAX, n, gid_s)
 
     rank_lo = jnp.concatenate([
         jnp.minimum(starts, pair_budget).astype(jnp.int32),

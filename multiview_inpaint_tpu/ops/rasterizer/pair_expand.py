@@ -82,8 +82,19 @@ _L_S0, _L_S1, _L_S2 = 8, 9, 10
 # 4 w, 5 count — matching the delta channel semantics.
 
 
-def _kernel(gid_bits, tiles_x, window, g0r_ref, total_ref, table_ref,
-            base_ref, out_ref, vals_s, scratch, sems):
+def _kernel(gid_bits, tiles_x, window, wide, g0r_ref, total_ref,
+            table_ref, base_ref, *refs):
+    if wide:
+        # Wide key mode: (tile, rank) ride as TWO int32 outputs — the
+        # packed ``tile << gid_bits | rank`` encoding runs out of int32
+        # bits past n = 2^(31 - tile_bits) gaussians (262k at 1080p's
+        # 8160 tiles); reference-scale scenes are 1-6M. The caller
+        # sorts the pair lexicographically (lax.sort num_keys=2).
+        tile_ref, rank_ref, vals_s, scratch, sems = refs
+        out_ref = None
+    else:
+        out_ref, vals_s, scratch, sems = refs
+        tile_ref = rank_ref = None
     step = pl.program_id(0)
     total = total_ref[0]
     nblk = pl.num_programs(0) * GROUP
@@ -162,9 +173,18 @@ def _kernel(gid_bits, tiles_x, window, g0r_ref, total_ref, table_ref,
     r = jnp.where(r >= w, r - w, r)
     tile = (y0 + q) * float(tiles_x) + (x0 + r)
 
-    key = (tile.astype(jnp.int32) << gid_bits) | rank.astype(jnp.int32)
-    out_ref[:, :] = jnp.where(j.astype(jnp.int32) >= total,
-                              jnp.int32(INT_MAX), key)
+    invalid = j.astype(jnp.int32) >= total
+    if wide:
+        # f32-exact while tile < num_tiles <= 2^24 and rank < n <= 2^24
+        # (n is further capped by the pair-budget sentinel BIG anyway).
+        tile_ref[:, :] = jnp.where(invalid, jnp.int32(INT_MAX),
+                                   tile.astype(jnp.int32))
+        rank_ref[:, :] = jnp.where(invalid, jnp.int32(INT_MAX),
+                                   rank.astype(jnp.int32))
+    else:
+        key = ((tile.astype(jnp.int32) << gid_bits)
+               | rank.astype(jnp.int32))
+        out_ref[:, :] = jnp.where(invalid, jnp.int32(INT_MAX), key)
 
 
 def _bf16_mask_split(x_i32, masks):
@@ -189,12 +209,13 @@ def _bf16_mask_split(x_i32, masks):
 
 
 @partial(jax.jit, static_argnames=("n", "gid_bits", "tiles_x",
-                                   "pair_budget", "window", "interpret"))
+                                   "pair_budget", "window", "interpret",
+                                   "wide"))
 def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
                 y0_c: jnp.ndarray, w_c: jnp.ndarray, active_c: jnp.ndarray,
                 total: jnp.ndarray, n: int, gid_bits: int, tiles_x: int,
                 pair_budget: int, window: int = 0,
-                interpret: bool = False):
+                interpret: bool = False, wide: bool = False):
     """[P]-slot packed sort keys from compacted per-gaussian rects.
 
     Args (all [N], compacted: active (count>0) gaussians first, in depth
@@ -211,7 +232,10 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
         (adaptive, like pair-budget growth).
     Returns ``(keys [pair_budget] int32 (compact-rank id space),
     needed [] int32)`` where ``needed`` is the smallest valid ``window``
-    for this frame's data.
+    for this frame's data. With ``wide=True`` (reference-scale scenes
+    where ``tile << gid_bits | rank`` overflows int32) ``keys`` is the
+    pair ``(tile [pair_budget] int32, rank [pair_budget] int32)``
+    instead, to be sorted lexicographically.
     """
     window = window or K
     assert window % 16 == 0, "window must be a bf16-sublane multiple"
@@ -268,15 +292,33 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
     c_bin = jnp.where(active_c, -(-starts_c // B), INT_MAX)
     c_bin = jnp.minimum(c_bin, nb_pad)        # nb_pad = discard bin
     hi_bins = -(-(nb_pad + 1) // 64)
-    c_hi = (c_bin // 64)[:, None]
-    c_lo = (c_bin % 64)[:, None]
-    u = (c_hi == jnp.arange(hi_bins, dtype=jnp.int32)[None, :]).astype(
-        jnp.bfloat16)                          # [N, HI]
-    v = (c_lo == jnp.arange(64, dtype=jnp.int32)[None, :]).astype(
-        jnp.bfloat16)                          # [N, 64]
-    hist = jax.lax.dot_general(
-        u, v, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)    # [HI, 64]
+
+    def _hist_block(cb):
+        c_hi = (cb // 64)[:, None]
+        c_lo = (cb % 64)[:, None]
+        u = (c_hi == jnp.arange(hi_bins, dtype=jnp.int32)[None, :]
+             ).astype(jnp.bfloat16)            # [nk, HI]
+        v = (c_lo == jnp.arange(64, dtype=jnp.int32)[None, :]
+             ).astype(jnp.bfloat16)            # [nk, 64]
+        return jax.lax.dot_general(
+            u, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [HI, 64]
+
+    # The indicator operands are [N, HI] — at reference scale (N in the
+    # millions, HI in the hundreds) a single-shot build materializes
+    # gigabytes, so big N accumulates the (exact: 0/1 bf16 products,
+    # f32 sums < 2^24) histogram over fixed N-chunks instead.
+    NCHUNK = 1 << 19
+    if n <= NCHUNK:
+        hist = _hist_block(c_bin)
+    else:
+        npad_h = -(-n // NCHUNK) * NCHUNK
+        cb_all = jnp.pad(c_bin, (0, npad_h - n),
+                         constant_values=nb_pad)   # pads -> discard bin
+        hist = jax.lax.scan(
+            lambda acc, cb: (acc + _hist_block(cb), None),
+            jnp.zeros((hi_bins, 64), jnp.float32),
+            cb_all.reshape(-1, NCHUNK))[0]
     cum = jnp.cumsum(hist.reshape(-1)[:nb_pad].astype(jnp.int32))
     g_first = jnp.maximum(cum - 1, 0)
     g0r = (g_first // 16) * 16
@@ -307,6 +349,8 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
     base = jnp.where((idx >= 0)[:, None], base, 0.0)  # [NB, 6]
     base = jnp.pad(base, ((0, 0), (0, 128 - base.shape[1])))
 
+    out_spec = pl.BlockSpec((GROUP, B), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb_pad // GROUP,),
@@ -315,18 +359,21 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
             pl.BlockSpec((GROUP, 128), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),     # baselines
         ],
-        out_specs=pl.BlockSpec((GROUP, B), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[out_spec, out_spec] if wide else out_spec,
         scratch_shapes=[
             pltpu.VMEM((GROUP, 8, B), jnp.float32),    # phase-1 sums
             pltpu.VMEM((4, window, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
+    shape1 = jax.ShapeDtypeStruct((nb_pad, B), jnp.int32)
     keys = pl.pallas_call(
-        partial(_kernel, gid_bits, tiles_x, window),
-        out_shape=jax.ShapeDtypeStruct((nb_pad, B), jnp.int32),
+        partial(_kernel, gid_bits, tiles_x, window, wide),
+        out_shape=[shape1, shape1] if wide else shape1,
         grid_spec=grid_spec,
         interpret=interpret,
     )(g0r, jnp.asarray(total, jnp.int32).reshape(1), table, base)
+    if wide:
+        return (keys[0].reshape(p_pad)[:pair_budget],
+                keys[1].reshape(p_pad)[:pair_budget]), needed
     return keys.reshape(p_pad)[:pair_budget], needed

@@ -789,3 +789,79 @@ def test_render_frame_sharded_with_cull():
                                atol=2e-6)
     assert int(sh.pairs) == int(full.pairs)
     assert 0 < int(sh.cull_needed) < n
+
+
+def test_wide_keys_bitmatch_packed():
+    """Reference-scale key encoding: past N = 2^(31 - tile_bits) the
+    packed ``tile << gid_bits | rank`` int32 key overflows and binning
+    switches to wide (tile, rank) lexicographic keys. Forced at small N
+    the wide path must be BIT-identical to the packed path (within a
+    tile, ranks are unique — the sorted pair order is the same), on
+    values, metadata, and gradients, in both full-frame and
+    interleaved-band modes."""
+    import dataclasses
+
+    p = _random_scene(280, seed=17)
+    cam = _front_camera(width=80, height=64)
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+    kw = dict(pair_budget=8 * p.capacity, backend="pallas",
+              interpret=True)
+
+    base = rasterizer.render(p, cam, bg, **kw)
+    wide = rasterizer.render(p, cam, bg, force_wide=True, **kw)
+    for f in ("rgb", "depth", "alpha"):
+        np.testing.assert_array_equal(np.asarray(getattr(wide, f)),
+                                      np.asarray(getattr(base, f)),
+                                      err_msg=f)
+    assert int(wide.pairs) == int(base.pairs)
+    assert int(wide.expand_needed) == int(base.expand_needed)
+
+    # Interleaved band mode + cull ride the same wide keys.
+    bkw = dict(kw, band_rows=2, band_stride=2, cull_n=p.capacity - 1)
+    b0 = rasterizer.render(p, cam, bg, band_row0=jnp.int32(1), **bkw)
+    w0 = rasterizer.render(p, cam, bg, band_row0=jnp.int32(1),
+                           force_wide=True, **bkw)
+    np.testing.assert_array_equal(np.asarray(w0.rgb), np.asarray(b0.rgb))
+    assert int(w0.cull_needed) == int(b0.cull_needed)
+
+    tgt = jnp.asarray(
+        np.random.default_rng(3).random((64, 80, 3)), jnp.float32)
+
+    def loss(xyz, fw):
+        out = rasterizer.render(dataclasses.replace(p, xyz=xyz), cam, bg,
+                                force_wide=fw, **kw)
+        return jnp.sum((out.rgb - tgt) ** 2)
+
+    g0 = jax.grad(loss)(p.xyz, False)
+    g1 = jax.grad(loss)(p.xyz, True)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+
+
+def test_wide_keys_binning_level():
+    """bin_gaussians wide vs packed: identical gid_sorted / seg_start /
+    counts on the pallas segment layout, via both the expansion kernel
+    (interpret) and the XLA delta-scatter expansion."""
+    from multiview_inpaint_tpu.ops.rasterizer import binning
+
+    rng = np.random.default_rng(5)
+    n = 300
+    means2d = jnp.asarray(rng.uniform(-10, 90, (n, 2)), jnp.float32)
+    radius = jnp.asarray(rng.integers(0, 12, n), jnp.int32)
+    depth = jnp.asarray(rng.uniform(0.5, 9.0, n), jnp.float32)
+    for expand_kernel in (True, False):
+        kw = dict(tiles_x=5, tiles_y=4, tile_w=16, tile_h=16,
+                  pair_budget=1024, max_per_tile=64, gather_ids=False,
+                  aligned_chunk=128, expand_kernel=expand_kernel,
+                  interpret=True)
+        a = binning.bin_gaussians(means2d, radius, depth, **kw)
+        b = binning.bin_gaussians(means2d, radius, depth,
+                                  force_wide=True, **kw)
+        np.testing.assert_array_equal(np.asarray(b.gid_sorted),
+                                      np.asarray(a.gid_sorted))
+        np.testing.assert_array_equal(np.asarray(b.seg_start),
+                                      np.asarray(a.seg_start))
+        np.testing.assert_array_equal(np.asarray(b.counts),
+                                      np.asarray(a.counts))
+        np.testing.assert_array_equal(np.asarray(b.order),
+                                      np.asarray(a.order))
+        assert int(b.total_pairs) == int(a.total_pairs)

@@ -289,3 +289,77 @@ def test_conditioner_pose_vector_keys():
     v = np.asarray(out["vector"])
     np.testing.assert_array_equal(v[:, :16], np.tile(v[0, :16], (t, 1)))
     assert not np.allclose(v[0, 3 * 16:4 * 16], v[1, 3 * 16:4 * 16])
+
+
+def test_est_dataset_variant_knobs(tmp_path):
+    """The loader-family parity knobs (PARITY.md appendix): hint modes,
+    alternate depth dir, pinned sample + repeat, hint-frames dir,
+    pose_fn v2, reversal off."""
+    root = str(tmp_path / "000000000")
+    _write_scene(root, with_poses=True)
+    # alternate control dir + pre-inpainted hint frames dir
+    os.makedirs(os.path.join(root, "disparity"))
+    os.makedirs(os.path.join(root, "inpainted"))
+    rng = np.random.default_rng(7)
+    for i in range(T):
+        v = f"{i:05d}"
+        Image.fromarray(rng.integers(0, 255, (H, W, 3), np.uint8)
+                        ).save(f"{root}/disparity/{v}.png")
+        Image.fromarray(np.full((H, W, 3), 200, np.uint8)
+                        ).save(f"{root}/inpainted/{v}.png")
+
+    widths = {"full": 7, "nodepth": 4, "frames_only": 3, "extended": 8,
+              "extended_unmasked": 8, "no_frames": 4, "nomask": 6}
+    for mode, c in widths.items():
+        ds = EstSVDForwardDataset(str(tmp_path), size=(H, W),
+                                  num_frames=T, hint_mode=mode)
+        assert ds[0]["control_hint"].shape == (T, H, W, c), mode
+
+    # no_frames hint carries no rgb content; unmasked hint does inside
+    # the mask where the masked variant is zeroed.
+    ds_ext = EstSVDForwardDataset(str(tmp_path), size=(H, W),
+                                  num_frames=T, hint_mode="extended",
+                                  reversal=False)
+    ds_unm = EstSVDForwardDataset(str(tmp_path), size=(H, W),
+                                  num_frames=T,
+                                  hint_mode="extended_unmasked",
+                                  reversal=False)
+    be, bu = ds_ext[0], ds_unm[0]
+    m = be["masks"][0, :, :, 0] > 0.5
+    assert np.abs(be["control_hint"][0][m][:, 4:7]).max() == 0.0
+    assert np.abs(bu["control_hint"][0][m][:, 4:7]).max() > 0.0
+
+    # hint_frames_dir: hint frame channels come from inpainted/, the
+    # target jpg stays rgb/.
+    ds_inp = EstSVDForwardDataset(str(tmp_path), size=(H, W),
+                                  num_frames=T,
+                                  hint_mode="extended_unmasked",
+                                  hint_frames_dir="inpainted",
+                                  reversal=False)
+    b = ds_inp[0]
+    np.testing.assert_allclose(b["control_hint"][0][:, :, 4:7],
+                               np.full((H, W, 3), 200 / 255 * 2 - 1),
+                               atol=2e-2)
+    assert not np.allclose(b["jpg"][0], b["control_hint"][0][:, :, 4:7])
+
+    # depth_dir switch
+    dd = EstSVDForwardDataset(str(tmp_path), size=(H, W), num_frames=T,
+                              depth_dir="disparity", reversal=False)
+    de = EstSVDForwardDataset(str(tmp_path), size=(H, W), num_frames=T,
+                              reversal=False)
+    assert not np.allclose(dd[0]["control_hint"][..., :3],
+                           de[0]["control_hint"][..., :3])
+
+    # pinned sample + repeat (BlendingDataset / SingleVideoDataset role)
+    dp = EstSVDForwardDataset(str(tmp_path), size=(H, W), num_frames=T,
+                              sample_id=0, repeat=5, reversal=False)
+    assert len(dp) == 5
+    np.testing.assert_array_equal(dp[3]["jpg"], dp[0]["jpg"])
+
+    # pose_fn v2: wrapped SV3D ranges
+    dv2 = EstSVDForwardDataset(str(tmp_path), size=(H, W), num_frames=T,
+                               pose_cond=True, pose_fn="v2",
+                               reversal=False)
+    b2 = dv2[0]
+    assert (b2["azimuths_rad"] >= 0).all()
+    assert (b2["polars_rad"] >= 0).all() and (b2["polars_rad"] < np.pi).all()

@@ -126,3 +126,53 @@ def test_seg_masks_ground_cli(tmp_path):
                      "x1", "00.png"), grayscale=True) > 0.5
     assert got[8:48, 72:112].mean() > 0.5      # object kept
     assert got[60:80, 10:30].mean() < 0.05     # distractor dropped
+
+
+def test_ground_adversarial_two_objects_shift_noise():
+    """Adversarial grounding (round-3 VERDICT): TWO plausible structured
+    objects in frame, a global color shift AND sampler-like pixel noise
+    on top; the query names one of them and its components must win —
+    both directions (either object as the query), so the test can't
+    pass by luck of window layout. Reference bar: Grounding-DINO
+    box_thr 0.35 on frame 0 (seg_gs.py:94-117)."""
+    grounder, vit, params = _tiny_grounder()
+
+    def embed(patch):
+        return np.asarray(vit.apply({"params": params}, jnp.asarray(
+            np.asarray(jax.image.resize(jnp.asarray(patch),
+                                        (224, 224, 3), "bilinear"))
+            )[None] * 2.0 - 1.0)[0])
+
+    obj_a = _object_patch(40, seed=3)            # smooth gradient object
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:40, 0:40]
+    obj_b = np.stack([((yy // 5 + xx // 5) % 2).astype(np.float32),
+                      np.zeros((40, 40), np.float32),
+                      ((xx // 7) % 2).astype(np.float32)], -1)  # checks
+
+    boxes = {"a": (8, 10, 48, 50), "b": (50, 78, 90, 118)}
+    base = rng.uniform(0.4, 0.6, (96, 128, 3)).astype(np.float32)
+    base[8:48, 10:50] = obj_a
+    base[50:90, 78:118] = obj_b
+    # global color shift + sampler-noise-like perturbation
+    img = np.clip(base + np.array([0.08, -0.05, 0.04], np.float32)
+                  + rng.normal(0, 0.02, base.shape).astype(np.float32),
+                  0, 1)
+
+    masks = {k: box_to_mask(b, 96, 128) for k, b in boxes.items()}
+    for named, other in (("a", "b"), ("b", "a")):
+        q = embed(obj_a if named == "a" else obj_b)
+        box, scores = grounder(img, q)
+        g = box_to_mask(box, 96, 128)
+        inter_n = (g * masks[named]).sum()
+        iou_n = inter_n / (g.sum() + masks[named].sum() - inter_n)
+        inter_o = (g * masks[other]).sum()
+        assert iou_n > 0.2, (named, box, iou_n)
+        assert inter_n > 2 * inter_o, (named, box)
+        # component filtering: only the named object's blob survives
+        diff_mask = masks["a"] + masks["b"]
+        kept = filter_components(diff_mask, g, min_overlap=0.3)
+        cy, cx = [(25, 30), (70, 98)][0 if named == "a" else 1]
+        oy, ox = [(25, 30), (70, 98)][1 if named == "a" else 0]
+        assert kept[cy, cx] == 1.0, named
+        assert kept[oy, ox] == 0.0, named

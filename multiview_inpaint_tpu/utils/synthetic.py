@@ -106,3 +106,49 @@ def write_cube_obj(path, center=(0, 0, 0), half=0.5):
             f.write(f"v {c[0]} {c[1]} {c[2]}\n")
         for q in quads:
             f.write("f " + " ".join(f"{i}//1" for i in q) + "\n")
+
+
+def make_big_scene(n: int, seed: int = 0, scale_lo: float = 0.0015,
+                   scale_hi: float = 0.008):
+    """Reference-scale synthetic scene (1-6M gaussians): dense clustered
+    foreground blobs + ground plane + far background shell, splat sizes
+    small enough that pairs/gaussian stays realistic (~2-4 at 1080p vs
+    the 100k bench ball's 12). Mirrors the composition of a densified
+    Mip-360 capture (``gs-simp/scene/gaussian_model.py`` densify loop
+    output: millions of small splats, most rects 1-4 tiles). Used by
+    bench.py's scale row and scripts/bench_scale.py."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..gs import gaussians
+    from . import sh as sh_utils
+    from .schedules import inverse_sigmoid
+
+    rng = np.random.default_rng(seed)
+    n_core = int(n * 0.55)
+    n_plane = int(n * 0.25)
+    n_shell = n - n_core - n_plane
+    k = 40
+    centers = rng.uniform(-1.2, 1.2, (k, 3)) * np.array([1, 1, 0.6])
+    idx = rng.integers(0, k, n_core)
+    core = centers[idx] + rng.normal(0, 0.25, (n_core, 3))
+    plane = np.stack([rng.uniform(-3, 3, n_plane),
+                      rng.uniform(-1.6, -1.4, n_plane),
+                      rng.uniform(-3, 3, n_plane)], -1)
+    r = rng.uniform(4.0, 6.0, n_shell)
+    theta = rng.uniform(0, 2 * np.pi, n_shell)
+    phi = np.arccos(rng.uniform(-1, 1, n_shell))
+    shell = np.stack([r * np.sin(phi) * np.cos(theta),
+                      r * np.sin(phi) * np.sin(theta),
+                      r * np.cos(phi)], -1)
+    xyz = np.concatenate([core, plane, shell]).astype(np.float32)
+    rgb = (np.tanh(xyz * 0.4) * 0.5 + 0.5).astype(np.float32)
+    dc = np.asarray(sh_utils.rgb_to_sh(jnp.asarray(rgb))).reshape(n, 1, 3)
+    scales = rng.uniform(scale_lo, scale_hi, (n, 3)).astype(np.float32)
+    scales[n_core + n_plane:] *= 4.0   # far shell: similar screen size
+    op = rng.uniform(0.5, 0.95, (n, 1)).astype(np.float32)
+    return gaussians.from_arrays(
+        xyz, dc, np.zeros((n, 0, 3), np.float32),
+        np.asarray(inverse_sigmoid(jnp.asarray(op))),
+        np.log(scales),
+        np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)))

@@ -37,50 +37,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_scene(n: int, seed: int = 0, scale_lo: float = 0.0015,
-               scale_hi: float = 0.008):
-    """A Mip-360-ish synthetic: dense central content + ground plane +
-    far background shell, splat sizes ~inverse cube-root density so the
-    pairs/gaussian ratio stays realistic (~3-5 at 1080p) instead of the
-    100k bench ball's 12."""
-    import jax.numpy as jnp
-
-    from multiview_inpaint_tpu.gs import gaussians
-    from multiview_inpaint_tpu.utils import sh as sh_utils
-    from multiview_inpaint_tpu.utils.schedules import inverse_sigmoid
-
-    rng = np.random.default_rng(seed)
-    n_core = int(n * 0.55)
-    n_plane = int(n * 0.25)
-    n_shell = n - n_core - n_plane
-    # core: clustered blobs (foreground objects)
-    k = 40
-    centers = rng.uniform(-1.2, 1.2, (k, 3)) * np.array([1, 1, 0.6])
-    idx = rng.integers(0, k, n_core)
-    core = centers[idx] + rng.normal(0, 0.25, (n_core, 3))
-    # ground plane
-    plane = np.stack([rng.uniform(-3, 3, n_plane),
-                      rng.uniform(-1.6, -1.4, n_plane),
-                      rng.uniform(-3, 3, n_plane)], -1)
-    # background shell
-    r = rng.uniform(4.0, 6.0, n_shell)
-    theta = rng.uniform(0, 2 * np.pi, n_shell)
-    phi = np.arccos(rng.uniform(-1, 1, n_shell))
-    shell = np.stack([r * np.sin(phi) * np.cos(theta),
-                      r * np.sin(phi) * np.sin(theta),
-                      r * np.cos(phi)], -1)
-    xyz = np.concatenate([core, plane, shell]).astype(np.float32)
-    rgb = (np.tanh(xyz * 0.4) * 0.5 + 0.5).astype(np.float32)
-    dc = np.asarray(sh_utils.rgb_to_sh(jnp.asarray(rgb))).reshape(n, 1, 3)
-    scales = rng.uniform(scale_lo, scale_hi, (n, 3)).astype(np.float32)
-    # shell splats are farther -> bigger in world space, similar on screen
-    scales[n_core + n_plane:] *= 4.0
-    op = rng.uniform(0.5, 0.95, (n, 1)).astype(np.float32)
-    return gaussians.from_arrays(
-        xyz, dc, np.zeros((n, 0, 3), np.float32),
-        np.asarray(inverse_sigmoid(jnp.asarray(op))),
-        np.log(scales),
-        np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)))
+def make_scene(n: int, seed: int = 0, **kw):
+    """See multiview_inpaint_tpu.utils.synthetic.make_big_scene."""
+    from multiview_inpaint_tpu.utils.synthetic import make_big_scene
+    return make_big_scene(n, seed=seed, **kw)
 
 
 def device_stage_ms(fn, iters, tag, tbase, want=()):

@@ -35,6 +35,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .segment_reduce import _blocked_cumsum_f32, safe_gather
 
@@ -101,6 +102,47 @@ def reconstruct_rows(bf_t: jnp.ndarray, terms: Sequence[int],
     return acc
 
 
+def term_sum_matrix(terms: Sequence[int], out_rows: int) -> jnp.ndarray:
+    """[L, out_rows] bf16 0/1 matrix M with M[lane, col] = 1 iff split
+    lane ``lane`` is a term of column ``col`` (term-major lane order, as
+    ``split_columns`` emits): x_f32 = x_bf16_lanes @ M, exactly (0/1
+    products are the bf16 terms themselves; sums of <= max(terms)
+    exactly-representable values accumulate in f32).
+
+    Why a matmul instead of ``.T`` + sublane adds: XLA's layout
+    assignment may FUSE the transpose into the producing P-row gather —
+    at reference scale it flips the [P, L] gather output (and the whole
+    table chain above it) to the transposed {0,1} layout, turning each
+    row gather into L strided 2-byte writes (measured 136 ms for 8M
+    rows at N=2M vs the ~13 ms the bf16 row-gather rate implies). A dot
+    consumer pins canonical row-major operands deterministically; the
+    MXU pass itself is noise (~8 GFLOP at 8M pairs)."""
+    ncols = len(terms)
+    lanes = []
+    for k in range(max(terms)):
+        for c, t in enumerate(terms):
+            if k < t:
+                lanes.append(c)
+    m = np.zeros((len(lanes), out_rows), np.float32)
+    for lane, c in enumerate(lanes):
+        m[lane, c] = 1.0
+    return jnp.asarray(m, jnp.bfloat16)
+
+
+def exact_term_dot(x_bf: jnp.ndarray, m_bf: jnp.ndarray) -> jnp.ndarray:
+    """[P, L] bf16 @ [L, C] 0/1 bf16 -> [P, C] f32, exact (bf16 terms
+    are exact f32 values; 0/1 products select them; partial sums of
+    disjoint-magnitude split terms are exactly representable). The CPU
+    backend's DotThunk lacks bf16 x bf16 = f32, so interpret/test runs
+    convert the operands — identical values, the convert is exact."""
+    if jax.default_backend() == "cpu":
+        return jax.lax.dot_general(
+            x_bf.astype(jnp.float32), m_bf.astype(jnp.float32),
+            (((1,), (0,)), ((), ())))
+    return jax.lax.dot_general(x_bf, m_bf, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 @jax.custom_vjp
 def pair_attrs_bf16(packed: jnp.ndarray, order: jnp.ndarray,
                     gid: jnp.ndarray, rank_lo: jnp.ndarray
@@ -126,12 +168,32 @@ def _split_table(packed: jnp.ndarray) -> jnp.ndarray:
 
 def _pab_fwd(packed, order, gid, rank_lo):
     split_bf = _split_table(packed)                 # [N, 30] bf16
-    sorted_bf = safe_gather(split_bf, order)        # rank order
-    lanes = sorted_bf.shape[1]
-    sorted_bf = jnp.concatenate(
-        [sorted_bf, jnp.zeros((1, lanes), jnp.bfloat16)])  # sentinel
-    pairs_bf = safe_gather(sorted_bf, gid)          # [P, 30] bf16
-    attrs_t = reconstruct_rows(pairs_bf.T, PACK_TERMS, N_PACK_COLS)
+    lanes = split_bf.shape[1]
+    # 128-lane pad BEFORE the N-row permutation gather too — the same
+    # narrow-lane layout flip hit it at reference scale (36.7 ms for a
+    # 2M-row permutation vs ~11 ms at the locality floor once padded).
+    split_pad = jnp.pad(split_bf, ((0, 0), (0, 128 - lanes)))
+    sorted_bf = safe_gather(split_pad, order)       # [M, 128] rank order
+    # Sentinel row for the pair gather. Why the tables are 128 lanes
+    # wide: a [P, 30] gather output tile-pads 30 -> 128 lanes anyway
+    # (T(8,128)); leaving the width NARROW lets XLA's layout assignment
+    # flip the whole table/gather chain to the transposed {0,1} layout
+    # at reference scale to dodge that padding — which turns every
+    # gathered row into 30 strided 2-byte transactions (measured 105 ms
+    # for 8M rows at N=2M; every counter-formulation tried — dot
+    # consumers, optimization_barrier, reshape anchors,
+    # with_layout_constraint, u32 packing — left the flip in place,
+    # scripts/exp_gather_layout.py). An EXPLICIT 128-lane table makes
+    # {1,0} the only unpadded layout: the same gather runs at the
+    # measured large-table locality floor (PERF.md round-3 lesson 8).
+    # The term-sum then rides a 0/1 [128, 16] dot (exact; zero rows for
+    # the pad lanes) and ONE explicit transpose into the kernel-facing
+    # [NROWS, P].
+    table = jnp.pad(sorted_bf, ((0, 1), (0, 0)))
+    pairs_bf = safe_gather(table, gid)              # [P, 128] bf16
+    m = jnp.pad(term_sum_matrix(PACK_TERMS, N_PACK_COLS),
+                ((0, 128 - lanes), (0, 0)))
+    attrs_t = exact_term_dot(pairs_bf, m).T         # [NROWS, P] f32
     return attrs_t, (order, gid, rank_lo, packed.shape[0])
 
 
@@ -142,17 +204,28 @@ def _pab_bwd(res, d):
     order, gid, rank_lo, n = res
     m = order.shape[0]          # rank-space size (== n unless culled)
     nrows, p = d.shape
-    # TERM-MAJOR vectorized 3-term split: whole-array mask ops on
-    # [NROWS, P] (a per-row python loop + stack lowered to 48 separate
-    # [1, P] column-major fusions — 25 ms/step on hardware).
-    t0, t1, t2 = _mask_split(d, COT_TERMS)          # each [16, P] bf16
-    d_bf = jnp.concatenate([t0, t1, t2], axis=0)    # [48, P]
+    # One explicit transpose copy out of the kernel's [NROWS, P]
+    # orientation, THEN the term-major 3-term split as whole-array mask
+    # ops on [P, NROWS] (a per-row python loop + stack lowered to 48
+    # separate [1, P] column-major fusions — 25 ms/step on hardware).
+    # Building the gather table in [P, 48] row-major directly (instead
+    # of splitting [48, P] and transposing into the gather) keeps the
+    # regroup gather's rows contiguous at reference scale — see
+    # term_sum_matrix on the layout-flip pathology.
+    d_t = d.T                                       # [P, 16] f32 copy
+    t0, t1, t2 = _mask_split(d_t, COT_TERMS)        # each [P, 16] bf16
+    # 128-lane pad for the same layout reason as the forward pair
+    # gather (see _pab_fwd): narrow rows invite the transposed-layout
+    # flip at reference scale.
+    d_bf = jnp.concatenate(
+        [t0, t1, t2,
+         jnp.zeros((p, 128 - 3 * nrows), jnp.bfloat16)], axis=1)
     pos = jnp.arange(p, dtype=jnp.int32)
     gid_s, pos_s = jax.lax.sort((gid, pos), num_keys=1)
-    gg_bf = safe_gather(d_bf.T, pos_s)              # [P, 48] grouped
-    gg = (gg_bf[:, 0:nrows].astype(jnp.float32)
-          + gg_bf[:, nrows:2 * nrows].astype(jnp.float32)
-          + gg_bf[:, 2 * nrows:3 * nrows].astype(jnp.float32))
+    gg_bf = safe_gather(d_bf, pos_s)                # [P, 128] grouped
+    m2 = jnp.pad(term_sum_matrix((COT_TERMS,) * nrows, nrows),
+                 ((0, 128 - 3 * nrows), (0, 0)))
+    gg = exact_term_dot(gg_bf, m2)                  # [P, 16] f32, exact
     # Sentinel-id slots (padding) must not ride the prefix.
     gg = jnp.where((gid_s < m)[:, None], gg, 0.0)
     cum = jnp.concatenate(

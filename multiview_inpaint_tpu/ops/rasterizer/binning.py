@@ -301,12 +301,17 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                 enc2(x0) + enc2(y0) + enc2(rect_w) + enc2(count), axis=1)
             tb = safe_gather(tab_bf, order)
 
-            def dec2(k):
-                return (tb[:, 2 * k].astype(jnp.float32)
-                        + tb[:, 2 * k + 1].astype(jnp.float32)
-                        ).astype(jnp.int32)
-
-            x0, y0, rect_w, count = dec2(0), dec2(1), dec2(2), dec2(3)
+            # Term-sum via a 0/1 dot (exact: <= 2^16 integer sums in
+            # f32) instead of lane slices + adds: a dot consumer pins
+            # the gather output row-major — at reference scale XLA's
+            # layout assignment otherwise flips the [N, 8] gather to
+            # the transposed layout and strides every row write (see
+            # bf16_transport.term_sum_matrix).
+            from .bf16_transport import exact_term_dot
+            dec_m = jnp.repeat(jnp.eye(4, dtype=jnp.bfloat16), 2, axis=0)
+            vals = exact_term_dot(tb, dec_m)              # [N, 4]
+            x0, y0, rect_w, count = (
+                vals[:, k].astype(jnp.int32) for k in range(4))
         active = count > 0
     else:
         order = None

@@ -271,9 +271,13 @@ def expand_keys(starts_c: jnp.ndarray, x0_c: jnp.ndarray,
         s_hi, s_mid, s_lo,
     ], axis=1)                                        # [N, 11]
     rows = -(-(n + window) // 16) * 16
-    table = jnp.zeros((rows, 128), jnp.bfloat16)
-    table = table.at[:, _L_S0].set(jnp.bfloat16(BIG))  # pads never fire
-    table = table.at[:n, :chans.shape[1]].set(chans)
+    # Build by pad, not .at[].set: the full-table dynamic-update-slice
+    # wrote every lane of every row (5.3 ms at N=2M); the pad fuses
+    # into one pass and only the <= window+16 sentinel tail rows need
+    # a (tiny) update. Pad rows must compare at BIG (never fire).
+    table = jnp.pad(chans, ((0, rows - n), (0, 128 - chans.shape[1])))
+    if rows > n:
+        table = table.at[n:, _L_S0].set(jnp.bfloat16(BIG))
 
     # Per-block first-gaussian window origin (16-aligned: bf16 sublane
     # tile): g_first[b] = #{active g : start_g <= b*B} - 1. Computed as

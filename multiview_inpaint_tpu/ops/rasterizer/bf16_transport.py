@@ -172,7 +172,12 @@ def _pab_fwd(packed, order, gid, rank_lo):
     # 128-lane pad BEFORE the N-row permutation gather too — the same
     # narrow-lane layout flip hit it at reference scale (36.7 ms for a
     # 2M-row permutation vs ~11 ms at the locality floor once padded).
-    split_pad = jnp.pad(split_bf, ((0, 0), (0, 128 - lanes)))
+    # optimization_barrier: the algebraic simplifier otherwise rewrites
+    # gather(pad(x)) -> pad(gather(x)), reintroducing the narrow {0,1}
+    # gather (measured: the barrier-less pad was hoisted and the
+    # permutation gather ran 26-37 ms again).
+    split_pad = jax.lax.optimization_barrier(
+        jnp.pad(split_bf, ((0, 0), (0, 128 - lanes))))
     sorted_bf = safe_gather(split_pad, order)       # [M, 128] rank order
     # Sentinel row for the pair gather. Why the tables are 128 lanes
     # wide: a [P, 30] gather output tile-pads 30 -> 128 lanes anyway
@@ -189,7 +194,8 @@ def _pab_fwd(packed, order, gid, rank_lo):
     # The term-sum then rides a 0/1 [128, 16] dot (exact; zero rows for
     # the pad lanes) and ONE explicit transpose into the kernel-facing
     # [NROWS, P].
-    table = jnp.pad(sorted_bf, ((0, 1), (0, 0)))
+    table = jax.lax.optimization_barrier(
+        jnp.pad(sorted_bf, ((0, 1), (0, 0))))
     pairs_bf = safe_gather(table, gid)              # [P, 128] bf16
     m = jnp.pad(term_sum_matrix(PACK_TERMS, N_PACK_COLS),
                 ((0, 128 - lanes), (0, 0)))
@@ -217,9 +223,9 @@ def _pab_bwd(res, d):
     # 128-lane pad for the same layout reason as the forward pair
     # gather (see _pab_fwd): narrow rows invite the transposed-layout
     # flip at reference scale.
-    d_bf = jnp.concatenate(
+    d_bf = jax.lax.optimization_barrier(jnp.concatenate(
         [t0, t1, t2,
-         jnp.zeros((p, 128 - 3 * nrows), jnp.bfloat16)], axis=1)
+         jnp.zeros((p, 128 - 3 * nrows), jnp.bfloat16)], axis=1))
     pos = jnp.arange(p, dtype=jnp.int32)
     gid_s, pos_s = jax.lax.sort((gid, pos), num_keys=1)
     gg_bf = safe_gather(d_bf, pos_s)                # [P, 128] grouped

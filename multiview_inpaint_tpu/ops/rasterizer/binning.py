@@ -260,7 +260,24 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     cull_needed = jnp.int32(0)
     aux_sorted = None
     if use_rank:
-        order = jnp.argsort(jnp.where(count > 0, depth, jnp.inf))
+        sort_key = jnp.where(count > 0, depth, jnp.inf)
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        if aux is None:
+            # The rect table RIDES THE DEPTH ARGSORT as two packed
+            # int32 payload operands instead of a separate N-row
+            # permutation gather: the gather ran at the random-access
+            # locality floor (9.3 ms at N=2M) plus bf16 encode/decode
+            # fusions, while two extra sort payloads cost ~2 ms at the
+            # measured sort rate. Packing bounds: tile coords and
+            # rect_w < 2^15; count < num_tiles + 1 <= 2^16 (same bound
+            # the previous 2-term bf16 encode assumed). num_keys=2
+            # (key, iota) keeps the permutation stable == jnp.argsort.
+            p1 = (x0 << 16) | y0
+            p2 = (rect_w << 16) | count
+            _, order, p1s, p2s = jax.lax.sort(
+                (sort_key, iota_n, p1, p2), num_keys=2)
+        else:
+            order = jnp.argsort(sort_key)
         if cull_n is not None:
             # True active count BEFORE truncation: the overflow signal.
             # Computed whenever cull_n is set (even cull_n >= n, where
@@ -287,31 +304,13 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
             x0, y0, rect_w, count = (tab[:, 0], tab[:, 1], tab[:, 2],
                                      tab[:, 3])
         else:
-            # bf16-encoded rect permutation: f32/int rows pay a padded
-            # 512 B transaction per row, bf16 rows 256 B (2.4x faster,
-            # see bf16_transport). Coords/widths < 256 are exact bf16;
-            # count (< 2^16) rides an exact 2-term integer-mask split.
-            from .segment_reduce import safe_gather
-
-            def enc2(v):  # exact 2-term 8-bit-chunk split, v < 2^16
-                return [(v & 0xFF00).astype(jnp.bfloat16),
-                        (v & 0x00FF).astype(jnp.bfloat16)]
-
-            tab_bf = jnp.stack(
-                enc2(x0) + enc2(y0) + enc2(rect_w) + enc2(count), axis=1)
-            tb = safe_gather(tab_bf, order)
-
-            # Term-sum via a 0/1 dot (exact: <= 2^16 integer sums in
-            # f32) instead of lane slices + adds: a dot consumer pins
-            # the gather output row-major — at reference scale XLA's
-            # layout assignment otherwise flips the [N, 8] gather to
-            # the transposed layout and strides every row write (see
-            # bf16_transport.term_sum_matrix).
-            from .bf16_transport import exact_term_dot
-            dec_m = jnp.repeat(jnp.eye(4, dtype=jnp.bfloat16), 2, axis=0)
-            vals = exact_term_dot(tb, dec_m)              # [N, 4]
-            x0, y0, rect_w, count = (
-                vals[:, k].astype(jnp.int32) for k in range(4))
+            # Unpack the sorted payloads (see the sort above).
+            if cull:
+                p1s, p2s = p1s[:nm], p2s[:nm]
+            x0 = p1s >> 16
+            y0 = p1s & 0xFFFF
+            rect_w = p2s >> 16
+            count = p2s & 0xFFFF
         active = count > 0
     else:
         order = None

@@ -88,7 +88,12 @@ def main():
                    help="xplane device stage times (adds a trace pass)")
     p.add_argument("--train", action="store_true",
                    help="also time the 512x384 GS train step per scale")
-    p.add_argument("--budget_mult", type=float, default=4.0)
+    p.add_argument("--budget_mult", type=float, default=2.6,
+                   help="pair budget / N; the scale scenes measure "
+                        "~2.33 pairs/gaussian, and every P-proportional "
+                        "stage (gather, sort, expansion) pays the slack "
+                        "— the adaptive growth loop below recovers from "
+                        "an undershoot")
     p.add_argument("--cpu", action="store_true",
                    help="CPU smoke mode: interpret kernels, small frame")
     p.add_argument("--size", type=int, nargs=2, default=None,

@@ -20,7 +20,11 @@ The breakdown makes "fast" auditable instead of asserted:
   reports pair-pixels/s, its hardware-independent work rate.
 
 Runs on whatever the default JAX backend is (the driver provides one real
-TPU chip via axon). Scene: 100k procedurally-placed gaussians.
+TPU chip via axon). Scene: 100k procedurally-placed gaussians; the
+breakdown additionally carries a `scale_2m` row — the same 1080p render
+on a 2M-gaussian scene (reference Mip-360 scale, wide sort keys,
+multi-million pairs) so the metric is proven at the reference's real
+workload size, not just the toy scene.
 """
 
 import json
@@ -391,24 +395,35 @@ def main():
         # render and must never be timed into the projection. Also
         # collects the worst expansion-window need to tighten the
         # timed config exactly like the full-frame path.
-        band_need = 0
+        band_need = band_act = 0
         for r0 in range(n_bands):
             bout = render(params, rcam, bg,
-                          band_row0=jnp.int32(r0), **bkw)
+                          band_row0=jnp.int32(r0), cull_n=n, **bkw)
             if (int(bout.pairs) > bkw["pair_budget"]
                     or int(bout.expand_needed) > 288):
                 raise RuntimeError(
                     f"band {r0} overflow: pairs={int(bout.pairs)} "
                     f"need={int(bout.expand_needed)}")
             band_need = max(band_need, int(bout.expand_needed))
+            band_act = max(band_act, int(bout.cull_needed))
         bkw["expand_window"] = max(
             -(-(band_need + 16) // 16) * 16, 32)
+        # Per-band N-culling: a stride-8 band touches ~43% of this
+        # scene's gaussians; truncating the depth-rank compaction to
+        # the measured active count (+15%, 8k-aligned) shrinks every
+        # N-proportional stage (measured 3.05 -> 2.89 ms device at 8
+        # bands, PERF.md round 4). Probe-validated below before timing.
+        cull = min(-(-int(band_act * 1.15) // 8192) * 8192, n)
+        if cull < n:
+            bkw["cull_n"] = cull
         worst, worst_r0 = 0.0, 0
         for r0 in range(n_bands):
             bout = render(params, rcam, bg,
                           band_row0=jnp.int32(r0), **bkw)
             if int(bout.expand_needed) > bkw["expand_window"]:
                 raise RuntimeError("band window corruption")
+            if "cull_n" in bkw and int(bout.cull_needed) > bkw["cull_n"]:
+                raise RuntimeError("band cull corruption")
             bt = _timeit_min(
                 lambda r0=r0: render(params, rcam, bg,
                                      band_row0=jnp.int32(r0),
@@ -417,6 +432,7 @@ def main():
                 worst, worst_r0 = bt, r0
         breakdown["band_worst_ms"] = round(worst * 1e3, 2)
         breakdown["band_8chip_projected_fps"] = round(1.0 / worst, 1)
+        breakdown["band_cull_n"] = bkw.get("cull_n")
         # Device self-time of the worst band (xplane): the wall number
         # above carries ~2x of axon tunnel dispatch + launch gaps that
         # a real pod does not pay — this is the hardware-truth bound.
@@ -431,6 +447,59 @@ def main():
             print(f"band device time skipped: {e}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"band projection skipped: {e}", file=sys.stderr)
+
+    # ---- reference-scale row: 2M gaussians, wide sort keys ------------
+    # The reference's real workload is Mip-360 backgrounds densified to
+    # 1-6M gaussians (gs-simp/scene/gaussian_model.py densify loop;
+    # inpaint_rec.py:54-58 seeds 30k MORE on top). The headline scene is
+    # 100k; this row proves the same 1080p render at 20x that, where the
+    # binning runs WIDE (tile, rank) sort keys (packed int32 keys
+    # overflow past 262k gaussians at 1080p) and multi-million-pair
+    # tables hit the narrow-lane gather cliffs (PERF.md round 4).
+    # Guarded: a failure here must not cost the driver its metric line.
+    try:
+        from multiview_inpaint_tpu.utils.synthetic import make_big_scene
+        ns = 2_000_000
+        sparams = make_big_scene(ns)
+        spb = int(2.6 * ns)  # measured ~2.33 pairs/gaussian + slack
+        skw = dict(sh_degree=0, pair_budget=spb, backend="pallas")
+        sout = render(sparams, rcam, bg, **skw)
+        jax.block_until_ready(sout.rgb)
+        spairs, regrows = int(sout.pairs), 0
+        while spairs > spb:  # adaptive budget regrow (re-jit)
+            spb *= 2
+            skw["pair_budget"] = spb
+            regrows += 1
+            sout = render(sparams, rcam, bg, **skw)
+            spairs = int(sout.pairs)
+        sneed = int(sout.expand_needed)
+        swin = max(-(-(sneed + 16) // 16) * 16, 32)
+        if swin < 288:
+            skw["expand_window"] = swin
+            sout = render(sparams, rcam, bg, **skw)
+            if int(sout.expand_needed) > swin:
+                skw.pop("expand_window")
+        sdt = _timeit_min(lambda: render(sparams, rcam, bg, **skw),
+                          iters=5, reps=2)
+        scale_row = {
+            "n_gaussians": ns,
+            "pairs": spairs,
+            "pair_budget": spb,
+            "budget_regrows": regrows,
+            "expand_window": skw.get("expand_window", 288),
+            "wall_ms": round(sdt * 1e3, 2),
+            "fps": round(1.0 / sdt, 2),
+        }
+        try:
+            sdev, _ = device_ms(
+                lambda: render(sparams, rcam, bg, **skw), 5, "scale")
+            scale_row["device_ms"] = round(sdev, 2)
+        except Exception as e:  # noqa: BLE001
+            print(f"scale device time skipped: {e}", file=sys.stderr)
+        breakdown["scale_2m"] = scale_row
+        del sparams, sout
+    except Exception as e:  # noqa: BLE001
+        print(f"scale row skipped: {e!r}", file=sys.stderr)
 
     # Self-description: vs_baseline is FPS/100 against BASELINE.md's
     # ">=100 FPS per chip on TPU v5p" north star, but this container's

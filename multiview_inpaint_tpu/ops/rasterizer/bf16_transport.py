@@ -236,26 +236,48 @@ def _pab_bwd(res, d):
     gg = jnp.where((gid_s < m)[:, None], gg, 0.0)
     cum = jnp.concatenate(
         [jnp.zeros((1, nrows), jnp.float32), _blocked_cumsum_f32(gg)])
-    ends = cum[rank_lo]                             # [M+2, 16]
-    d_rank = ends[1:] - ends[:-1]                   # [M+1, 16]
-    d_rank = d_rank[:m]                             # drop sentinel row
+    # 128-lane pad + barrier on the f32 prefix: the same layout-flip
+    # defense as the bf16 tables above, but EXACT (pad lanes are zeros,
+    # values untouched). At reference scale XLA lays the narrow
+    # [P+1, 16] prefix out column-major ({0,1}), turning each boundary
+    # row gather below into 16 strided 4-byte transactions — measured
+    # as the top two ops of the 2M-gaussian train step (48 + 30
+    # ms/step); padded rows gather at the big-table locality floor
+    # instead, where row WIDTH is free (PERF.md round-3 lesson 8).
+    # The rank->id permutation is folded into the boundary INDICES
+    # (cheap int32 1-D gathers), so the per-gaussian grad is the
+    # difference of the same two f32 prefix rows as before — bitwise
+    # identical output, one fewer [·, 16] row gather.
+    cum_pad = jax.lax.optimization_barrier(
+        jnp.pad(cum, ((0, 0), (0, 128 - nrows))))
+    # Each gaussian's boundary positions ride the rank->id sort as
+    # int32 payloads (contiguous SLICES of rank_lo, not gathers): a
+    # plain 1-D gather of 2M random int32 indices is latency-bound per
+    # 4-byte element and measured 13-15 ms EACH at reference scale —
+    # the sort payload is ~free on top of the argsort the permutation
+    # needs anyway.
+    lo_r = rank_lo[:m]
+    hi_r = rank_lo[1:m + 1]
     if m == n:
-        d_packed = safe_gather(d_rank, jnp.argsort(order))
+        _, lo, hi = jax.lax.sort(
+            (order.astype(jnp.int32), lo_r, hi_r), num_keys=1)
+        d_packed = (safe_gather(cum_pad, hi)
+                    - safe_gather(cum_pad, lo))[:, :nrows]
     else:
         # Culled rank space: ``order`` is a prefix, not a permutation.
         # A direct .at[order].set row scatter serializes per row on TPU;
-        # instead sort the M (target, rank) pairs and align them to the
-        # full id range with a searchsorted — sort + two gathers, all
+        # instead sort the M (target, lo, hi) triples and align them to
+        # the full id range with a searchsorted — sort + gathers, all
         # fast primitives. Culled gaussians contributed no pixels, so
         # their grad is zero.
         ids = jnp.arange(n, dtype=jnp.int32)
-        tgt_s, rank_s = jax.lax.sort(
-            (order.astype(jnp.int32), jnp.arange(m, dtype=jnp.int32)),
-            num_keys=1)
+        tgt_s, lo_s, hi_s = jax.lax.sort(
+            (order.astype(jnp.int32), lo_r, hi_r), num_keys=1)
         pos = jnp.minimum(jnp.searchsorted(tgt_s, ids), m - 1)
         hit = tgt_s[pos] == ids
-        d_packed = jnp.where(hit[:, None],
-                             safe_gather(d_rank, rank_s[pos]), 0.0)
+        diff = (safe_gather(cum_pad, hi_s[pos])
+                - safe_gather(cum_pad, lo_s[pos]))
+        d_packed = jnp.where(hit[:, None], diff[:, :nrows], 0.0)
     return d_packed, None, None, None
 
 

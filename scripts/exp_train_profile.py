@@ -7,6 +7,10 @@ jax.profiler.trace:
     python -u scripts/exp_train_profile.py /tmp/train_trace
     PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
         python scripts/xplane_top_ops.py /tmp/train_trace 40
+
+With ``--big N`` the scene is utils.synthetic.make_big_scene(N)
+(reference Mip-360 scale, e.g. N=2000000) instead of the 200k ball —
+the train-side counterpart of scripts/bench_scale.py.
 """
 
 import os
@@ -30,23 +34,37 @@ def main():
     from multiview_inpaint_tpu.utils import sh as sh_utils
     from multiview_inpaint_tpu.utils.schedules import inverse_sigmoid
 
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/train_trace"
-    n, cap = 200_000, 262_144
+    argv = [a for a in sys.argv[1:]]
+    big = 0
+    if "--big" in argv:
+        i = argv.index("--big")
+        big = int(argv[i + 1])
+        del argv[i:i + 2]
+    out_dir = argv[0] if argv else "/tmp/train_trace"
+    if big:
+        from multiview_inpaint_tpu.utils.synthetic import make_big_scene
+        n = big
+        params = make_big_scene(n)
+        cap = params.capacity
+    else:
+        n, cap = 200_000, 262_144
+        rng = np.random.default_rng(0)
+        theta = rng.uniform(0, 2 * np.pi, n)
+        phi = np.arccos(rng.uniform(-1, 1, n))
+        r = rng.uniform(0.3, 1.0, n) ** (1 / 3)
+        xyz = np.stack([r * np.sin(phi) * np.cos(theta),
+                        r * np.sin(phi) * np.sin(theta),
+                        r * np.cos(phi)], -1).astype(np.float32)
+        rgb = (xyz * 0.5 + 0.5).astype(np.float32)
+        dc = np.asarray(sh_utils.rgb_to_sh(
+            jnp.asarray(rgb))).reshape(n, 1, 3)
+        params = gaussians.from_arrays(
+            xyz, dc, np.zeros((n, 0, 3), np.float32),
+            np.full((n, 1), float(inverse_sigmoid(jnp.asarray(0.8)))),
+            np.log(rng.uniform(0.004, 0.02, (n, 3)).astype(np.float32)),
+            np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+            capacity=cap)
     rng = np.random.default_rng(0)
-    theta = rng.uniform(0, 2 * np.pi, n)
-    phi = np.arccos(rng.uniform(-1, 1, n))
-    r = rng.uniform(0.3, 1.0, n) ** (1 / 3)
-    xyz = np.stack([r * np.sin(phi) * np.cos(theta),
-                    r * np.sin(phi) * np.sin(theta),
-                    r * np.cos(phi)], -1).astype(np.float32)
-    rgb = (xyz * 0.5 + 0.5).astype(np.float32)
-    dc = np.asarray(sh_utils.rgb_to_sh(jnp.asarray(rgb))).reshape(n, 1, 3)
-    params = gaussians.from_arrays(
-        xyz, dc, np.zeros((n, 0, 3), np.float32),
-        np.full((n, 1), float(inverse_sigmoid(jnp.asarray(0.8)))),
-        np.log(rng.uniform(0.004, 0.02, (n, 3)).astype(np.float32)),
-        np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
-        capacity=cap)
     cam = make_camera(0, np.eye(3), np.array([0.0, 0.0, 3.0]),
                       fovx=1.1, fovy=0.8, width=512, height=384)
     rcam = RenderCamera.from_camera(cam)

@@ -89,6 +89,10 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # NOTE: do NOT enable jax_compilation_cache_dir under the axon
+    # backend — the remote-compiled executables don't serialize and the
+    # first compile hangs indefinitely (observed: GT renders that take
+    # 71s without the cache never completed with it).
     import jax.numpy as jnp
 
     from multiview_inpaint_tpu.gs import gaussians as g_mod
@@ -129,6 +133,8 @@ def main():
         capacity=-(-args.n_init // 8192) * 8192)
     del full
     state = gs_trainer.init_state(init)
+    log(f"init: {args.n_init} live in capacity {init.capacity}; "
+        f"first train_step compile...")
 
     cfg = gs_trainer.OptimizationConfig(
         iterations=args.iters,
@@ -217,6 +223,9 @@ def main():
             row = {"metric": "densify_scale_progress", "iter": it,
                    "loss": round(loss, 5), "live": live,
                    "capacity": state.params.capacity, "pairs": pairs,
+                   "expand_needed": int(metrics.expand_needed),
+                   "pair_overflow": bool(
+                       pairs > pair_mult * state.params.capacity),
                    "step_ms_median": med and round(med, 2),
                    "config_age_s": round(time.time() - t_cfg, 1)}
             print(json.dumps(row), flush=True)

@@ -272,7 +272,8 @@ def render(params: GaussianParams, camera: RenderCamera,
             # segment reduction in f32.
             from .bf16_transport import pair_attrs_bf16
             attrs_t = pair_attrs_bf16(packed, bins.order,
-                                      bins.gid_sorted, bins.rank_lo)
+                                      bins.gid_sorted, bins.rank_lo,
+                                      bins.order_full)
         else:
             # Generic fallback (packed keys unavailable): gid_sorted is
             # in original id space; plain gather + autodiff.

@@ -145,7 +145,8 @@ def exact_term_dot(x_bf: jnp.ndarray, m_bf: jnp.ndarray) -> jnp.ndarray:
 
 @jax.custom_vjp
 def pair_attrs_bf16(packed: jnp.ndarray, order: jnp.ndarray,
-                    gid: jnp.ndarray, rank_lo: jnp.ndarray
+                    gid: jnp.ndarray, rank_lo: jnp.ndarray,
+                    full_order: jnp.ndarray | None = None
                     ) -> jnp.ndarray:
     """Depth-rank-permute + pair-gather of the packed attribute table
     with bf16 transport; returns the kernel-ready [NROWS, P] f32 array.
@@ -157,7 +158,7 @@ def pair_attrs_bf16(packed: jnp.ndarray, order: jnp.ndarray,
     segment starts in id-sorted pair order (see
     ``segment_reduce.gather_pairs``).
     """
-    out, _ = _pab_fwd(packed, order, gid, rank_lo)
+    out, _ = _pab_fwd(packed, order, gid, rank_lo, full_order)
     return out
 
 
@@ -166,7 +167,7 @@ def _split_table(packed: jnp.ndarray) -> jnp.ndarray:
     return split_columns(cols, PACK_TERMS)
 
 
-def _pab_fwd(packed, order, gid, rank_lo):
+def _pab_fwd(packed, order, gid, rank_lo, full_order=None):
     split_bf = _split_table(packed)                 # [N, 30] bf16
     lanes = split_bf.shape[1]
     # 128-lane pad BEFORE the N-row permutation gather too — the same
@@ -200,14 +201,14 @@ def _pab_fwd(packed, order, gid, rank_lo):
     m = jnp.pad(term_sum_matrix(PACK_TERMS, N_PACK_COLS),
                 ((0, 128 - lanes), (0, 0)))
     attrs_t = exact_term_dot(pairs_bf, m).T         # [NROWS, P] f32
-    return attrs_t, (order, gid, rank_lo, packed.shape[0])
+    return attrs_t, (order, gid, rank_lo, packed.shape[0], full_order)
 
 
 def _pab_bwd(res, d):
     """d [NROWS, P] f32 -> d_packed [N, 16] f32 (f32-fidelity segment
     reduction; bf16 transport only for the latency-bound regroup
     gather)."""
-    order, gid, rank_lo, n = res
+    order, gid, rank_lo, n, full_order = res
     m = order.shape[0]          # rank-space size (== n unless culled)
     nrows, p = d.shape
     # One explicit transpose copy out of the kernel's [NROWS, P]
@@ -263,13 +264,32 @@ def _pab_bwd(res, d):
             (order.astype(jnp.int32), lo_r, hi_r), num_keys=1)
         d_packed = (safe_gather(cum_pad, hi)
                     - safe_gather(cum_pad, lo))[:, :nrows]
+    elif full_order is not None:
+        # Culled rank space with the UNtruncated argsort available
+        # (``order == full_order[:m]``, binning.TileBins.order_full):
+        # the same ONE payload sort as the m == n branch, over the full
+        # permutation — ranks >= m carry zero boundaries and a miss
+        # flag. This replaces a searchsorted over n ids, which XLA
+        # lowers to a ~log2(m)-pass while loop of [n]-row gathers
+        # (measured 252 ms/step at N=2M — 60x this sort's cost).
+        # Culled-out ids need no mask: their sort payloads are lo == hi
+        # == 0, so the boundary difference is exactly zero. (An explicit
+        # where() + late slice measurably broke the gather+subtract
+        # fusion here — XLA flipped the [n, 128] chain to {0,1} and
+        # inserted two 15 ms layout copies; mirroring the m == n
+        # branch's subtract-then-slice keeps it fused.)
+        pad0 = jnp.zeros((n - m,), rank_lo.dtype)
+        _, lo, hi = jax.lax.sort(
+            (full_order.astype(jnp.int32),
+             jnp.concatenate([lo_r, pad0]),
+             jnp.concatenate([hi_r, pad0])), num_keys=1)
+        d_packed = (safe_gather(cum_pad, hi)
+                    - safe_gather(cum_pad, lo))[:, :nrows]
     else:
-        # Culled rank space: ``order`` is a prefix, not a permutation.
-        # A direct .at[order].set row scatter serializes per row on TPU;
-        # instead sort the M (target, lo, hi) triples and align them to
-        # the full id range with a searchsorted — sort + gathers, all
-        # fast primitives. Culled gaussians contributed no pixels, so
-        # their grad is zero.
+        # Culled rank space, prefix only (direct callers): sort the M
+        # (target, lo, hi) triples and align them to the full id range
+        # with a searchsorted. Slow at reference scale (the while-loop
+        # lowering above) — render() always provides full_order.
         ids = jnp.arange(n, dtype=jnp.int32)
         tgt_s, lo_s, hi_s = jax.lax.sort(
             (order.astype(jnp.int32), lo_r, hi_r), num_keys=1)
@@ -278,7 +298,7 @@ def _pab_bwd(res, d):
         diff = (safe_gather(cum_pad, hi_s[pos])
                 - safe_gather(cum_pad, lo_s[pos]))
         d_packed = jnp.where(hit[:, None], diff[:, :nrows], 0.0)
-    return d_packed, None, None, None
+    return d_packed, None, None, None, None
 
 
 pair_attrs_bf16.defvjp(_pab_fwd, _pab_bwd)

@@ -1,0 +1,190 @@
+"""Band-sharded GS training: ONE frame's forward+backward over a mesh.
+
+The reference's core workload is the single-scene 30k-iteration train
+loop (``gs-simp/train.py:51-132``) — one GPU per scene, the hot loop
+being render forward+backward. ``parallel/gs_data_parallel`` shards a
+*batch of views*; this module shards a *single view's tile rows* into
+interleaved bands (the round-3/4 render-sharding design,
+``render_parallel.render_frame_sharded``) and runs the WHOLE training
+step that way: each device renders, differentiates, and reduces only
+its band's gaussian-tile pairs, the stitched full frame drives the
+exact same L1+SSIM objective (SSIM windows cross band boundaries — the
+loss sees the full image, so values match single-device training), and
+one gradient ``psum`` over the band axis recovers the full-frame
+parameter gradients. Adam then updates replicated state identically on
+every device.
+
+Why this matters at reference scale: the 512x384 train step at 2M
+gaussians measures 180 ms device-time single-chip (PERF.md round 4),
+~80% of it pair-proportional; banding the frame divides exactly that
+part. Gradients match the single-device step to f32 reduction order
+(the band partition only changes the ORDER pair contributions are
+summed in; the pallas/xla band renders themselves are bit-identical to
+the full frame).
+
+Everything below composes with the existing pieces: per-band pair
+budgets, ``cull_n`` per-band N-culling, and the densification-stats
+contract (``means2d`` grads are psum'd the same way, radii/visibility
+come from the replicated projection) — so ``maybe_densify`` /
+``grow_if_needed`` work unchanged on the returned state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..gs.gaussians import GaussianParams
+from ..models.gs_trainer import (_FIELDS, OptimizationConfig, StepMetrics,
+                                 TrainState, _group_lrs)
+from ..ops.rasterizer import RenderCamera, render
+from ..utils import losses as loss_utils
+
+_BAND_STEP_CACHE: dict = {}
+
+
+def band_train_step(state: TrainState, camera, gt_image, bg_color,
+                    cfg: OptimizationConfig, spatial_lr_scale: float,
+                    mesh: Mesh, axis: str = "data", sh_degree: int = 0,
+                    max_per_tile: int = 1024,
+                    pair_budget_mult: float = 2.0,
+                    backend: str = "xla", expand_window: int = 0,
+                    cull_n: int | None = None,
+                    ) -> tuple[TrainState, StepMetrics]:
+    """One full-frame optimization iteration, band-sharded over
+    ``mesh[axis]``.
+
+    Mirrors ``gs_trainer.train_step`` (loss_mode="full") exactly:
+    same objective, same grouped Adam, same densify-stat accumulation.
+    ``pair_budget_mult`` is PER BAND (a stride-D band holds ~1/D of the
+    frame's pairs); ``cull_n`` likewise bounds the per-band active
+    gaussian count. ``metrics.pairs`` is the summed full-frame true
+    pair count and ``expand_needed`` the per-band max, so the usual
+    host-side budget-growth checks apply per band.
+    """
+    cam = (camera if isinstance(camera, RenderCamera)
+           else RenderCamera.from_camera(camera))
+    n_dev = mesh.shape[axis]
+    tile_h = 16
+    tiles_y = -(-cam.height // tile_h)
+    band_rows = -(-tiles_y // n_dev)
+
+    key = (mesh, axis, band_rows, cam.width, cam.height, cam.tan_fovx,
+           cam.tan_fovy, cfg, spatial_lr_scale, sh_degree, max_per_tile,
+           pair_budget_mult, backend, expand_window, cull_n)
+    fn = _BAND_STEP_CACHE.get(key)
+    if fn is None:
+        fn = _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev,
+                    band_rows, tile_h, sh_degree, max_per_tile,
+                    pair_budget_mult, backend, expand_window, cull_n)
+        _BAND_STEP_CACHE[key] = fn
+
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(axis))
+    state_r = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, rep), state)
+    row0s = jax.device_put(jnp.arange(n_dev, dtype=jnp.int32), shard)
+    return fn(state_r, jax.device_put(jnp.asarray(gt_image), rep),
+              jax.device_put(jnp.asarray(bg_color, jnp.float32), rep),
+              jax.device_put(cam.world_view, rep),
+              jax.device_put(cam.full_proj, rep),
+              jax.device_put(cam.campos, rep), row0s)
+
+
+def _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev, band_rows,
+           tile_h, sh_degree, max_per_tile, pair_budget_mult, backend,
+           expand_window, cull_n):
+    h = cam.height
+
+    def shard_fn(state, gt, bg, wv, fp, cc, row0):
+        c = dataclasses.replace(cam, world_view=wv, full_proj=fp,
+                                campos=cc)
+        p = state.params
+        n = p.capacity
+        float_fields = {f: getattr(p, f) for f in _FIELDS}
+
+        def loss_fn(fields, offset):
+            params = GaussianParams(live=p.live, **fields)
+            out = render(params, c, bg, sh_degree=sh_degree,
+                         means2d_offset=offset,
+                         max_per_tile=max_per_tile,
+                         pair_budget=int(pair_budget_mult * n),
+                         backend=backend, expand_window=expand_window,
+                         band_rows=band_rows, band_row0=row0[0],
+                         band_stride=n_dev, cull_n=cull_n)
+            # Stitch the full frame from all bands; the loss sees the
+            # complete image, so SSIM windows crossing band boundaries
+            # are exact. AD must NOT flow through the collective: with
+            # check_vma=False (which render's internals require),
+            # all_gather's transpose delivers the FULL psum'd cotangent
+            # to every device — the explicit grad psum below would then
+            # overcount by D (measured exactly 8x on the virtual
+            # 8-mesh). Instead the gathered bands are stop-gradient and
+            # this device's band is re-injected differentiably, so each
+            # device's grad is exactly its band's contribution.
+            bands = jax.lax.all_gather(
+                jax.lax.stop_gradient(out.rgb), axis)  # [D, bh, W, 3]
+            bands = jax.lax.dynamic_update_slice(
+                bands, out.rgb[None], (row0[0], 0, 0, 0))
+            bands = bands.reshape(n_dev, band_rows, tile_h,
+                                  cam.width, 3)
+            full = jnp.swapaxes(bands, 0, 1).reshape(
+                n_dev * band_rows * tile_h, cam.width, 3)[:h]
+            pred_c = jnp.transpose(full, (2, 0, 1))
+            gt_c = jnp.transpose(gt, (2, 0, 1))
+            l1 = loss_utils.l1_loss(pred_c, gt_c)
+            loss = ((1.0 - cfg.lambda_dssim) * l1
+                    + cfg.lambda_dssim
+                    * (1.0 - loss_utils.ssim(pred_c, gt_c)))
+            return loss, (l1, out.radii, out.visibility, out.pairs,
+                          out.expand_needed)
+
+        offset = jnp.zeros((n, 2), jnp.float32)
+        ((loss, (l1, radii, vis, pairs, expand_needed)),
+         (g_fields, g_offset)) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(float_fields, offset)
+
+        # Full-frame gradients = sum of per-band pair contributions.
+        g_fields = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, axis), g_fields)
+        g_offset = jax.lax.psum(g_offset, axis)
+
+        # Grouped Adam — identical to gs_trainer.train_step (replicated
+        # inputs + psum'd grads => identical updates on every device).
+        step = state.step + 1
+        lrs = _group_lrs(cfg, step, spatial_lr_scale)
+        b1, b2, eps = 0.9, 0.999, 1e-15
+        t = step.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+        new_fields, new_mu, new_nu = {}, {}, {}
+        for f in _FIELDS:
+            g = g_fields[f]
+            rowmask = p.live.reshape((n,) + (1,) * (g.ndim - 1))
+            g = jnp.where(rowmask, g, 0.0)
+            mo = b1 * state.mu[f] + (1 - b1) * g
+            v = b2 * state.nu[f] + (1 - b2) * g * g
+            upd = lrs[f] * (mo / bc1) / (jnp.sqrt(v / bc2) + eps)
+            new_fields[f] = float_fields[f] - jnp.where(rowmask, upd, 0.0)
+            new_mu[f] = mo
+            new_nu[f] = v
+
+        new_params = GaussianParams(live=p.live, **new_fields)
+        # radii/visibility come from the replicated projection — every
+        # band computes the same full-N values (render_parallel note).
+        new_stats = state.stats.update(g_offset, radii, vis)
+        new_state = TrainState(params=new_params, mu=new_mu, nu=new_nu,
+                               stats=new_stats, step=step)
+        metrics = StepMetrics(
+            loss=loss, l1=l1, num_live=jnp.sum(p.live),
+            pairs=jax.lax.psum(pairs, axis),
+            expand_needed=jax.lax.pmax(expand_needed, axis))
+        return new_state, metrics
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(axis)),
+        out_specs=P(), check_vma=False))

@@ -61,7 +61,17 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=[2, 4, 8, 16])
     p.add_argument("--n", type=int, default=100_000)
+    p.add_argument("--big", action="store_true",
+                   help="use utils.synthetic.make_big_scene (reference "
+                        "Mip-360 composition, small splats) instead of "
+                        "the bench ball — the band-cull lever depends "
+                        "on rect height vs stride, so the two scene "
+                        "families bound it from both sides")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--ppg", type=float, default=12.5,
+                   help="expected full-frame pairs per gaussian (bench "
+                        "ball ~12.2, make_big_scene ~2.33); sizes the "
+                        "per-band pair budget")
     p.add_argument("--trace", action="store_true",
                    help="xplane device self-time of the worst band")
     args = p.parse_args()
@@ -75,7 +85,11 @@ def main():
     os.environ.setdefault(
         "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     n = args.n
-    params = build_scene(n)
+    if args.big:
+        from multiview_inpaint_tpu.utils.synthetic import make_big_scene
+        params = make_big_scene(n)
+    else:
+        params = build_scene(n)
     cam = make_camera(0, np.eye(3), np.array([0.0, 0.0, 3.0]),
                       fovx=1.1, fovy=0.7, width=1920, height=1080)
     rcam = RenderCamera.from_camera(cam)
@@ -102,7 +116,8 @@ def main():
         band_rows = -(-tiles_y // d)
         kw = dict(sh_degree=0, backend="pallas", band_rows=band_rows,
                   band_stride=d,
-                  pair_budget=max(int(2.5 * n / (d / 8.0)), 2 * n))
+                  pair_budget=max(int(1.6 * args.ppg * n / d),
+                                  int(0.25 * args.ppg * n)))
         # Probe pass (cull_n = n reports active counts without culling).
         needs, acts, pairs = [], [], []
         t0 = time.time()

@@ -467,7 +467,13 @@ def main():
         jax.block_until_ready(sout.rgb)
         spairs, regrows = int(sout.pairs), 0
         while spairs > spb:  # adaptive budget regrow (re-jit)
-            spb *= 2
+            from multiview_inpaint_tpu.ops.rasterizer.pair_expand import (
+                MAX_PAIR_BUDGET)
+            if spb >= MAX_PAIR_BUDGET:
+                raise RuntimeError(
+                    f"scene needs {spairs} pairs > pallas budget cap "
+                    f"{MAX_PAIR_BUDGET}")
+            spb = min(spb * 2, MAX_PAIR_BUDGET)
             skw["pair_budget"] = spb
             regrows += 1
             sout = render(sparams, rcam, bg, **skw)

@@ -169,6 +169,13 @@ def render(params: GaussianParams, camera: RenderCamera,
     pair-space attribute gradients (reduced to gaussians by the gather's
     own VJP).
 
+    ``pair_budget`` (pallas backend) must stay <=
+    ``pair_expand.MAX_PAIR_BUDGET`` (~16.7M — slot indices ride bf16
+    mask-split channels below the sentinel). Wide (tile, rank) keys
+    remove the N cap, but adaptive budget-doubling loops must clamp to
+    that bound (bench.py does); ~6-7M gaussians at the measured ~2.3
+    pairs/gaussian fit under it.
+
     Band mode (single-frame multi-chip sharding, see
     ``parallel.render_parallel.render_frame_sharded``): ``band_rows``
     (static) renders only the tile rows ``band_row0 + l*band_stride``

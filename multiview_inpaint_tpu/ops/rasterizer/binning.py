@@ -44,6 +44,11 @@ import jax
 import jax.numpy as jnp
 
 _INT_MAX = jnp.int32(2 ** 31 - 1)
+# Rect-payload packing carries count in the low 16 bits of one sorted
+# int32 payload; counts reach num_tiles, so grids at/above this limit
+# take the permutation-gather fallback (tests monkeypatch this to force
+# the fallback on small grids).
+_RECT_PACK_TILE_LIMIT = 1 << 16
 
 
 class TileBins(NamedTuple):
@@ -189,7 +194,9 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     segment path keeps the SAME compaction/expansion/histogram
     pipeline but carries ``(tile, rank)`` as two int32 arrays and
     sorts them lexicographically (``lax.sort num_keys=2``) — exact
-    same pair order, any N."""
+    same pair order, any N. ``pair_budget`` on the pallas segment
+    layout is capped at ``pair_expand.MAX_PAIR_BUDGET`` (~16.7M, the
+    bf16 slot-index sentinel); adaptive regrow loops clamp there."""
     n = means2d.shape[0]
     if cull_n is not None and int(cull_n) < 1:
         # nm = 0 would make order empty and every downstream clip
@@ -269,16 +276,22 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     if use_rank:
         sort_key = jnp.where(count > 0, depth, jnp.inf)
         iota_n = jnp.arange(n, dtype=jnp.int32)
-        if aux is None:
+        # Static packing-bound guard (checked, not assumed): tile
+        # coords and rect_w must fit 15 bits and count (<= num_tiles)
+        # 16 bits, else the packed payloads silently corrupt (e.g. an
+        # 8K frame at 16x16 tiles has 131k tiles and a full-frame
+        # splat's count overflows the low half). Out-of-bounds frames
+        # take the permutation-gather fallback below instead.
+        pack_ok = (num_tiles < _RECT_PACK_TILE_LIMIT
+                   and tiles_x < (1 << 15) and ty_clip < (1 << 15))
+        if aux is None and pack_ok:
             # The rect table RIDES THE DEPTH ARGSORT as two packed
             # int32 payload operands instead of a separate N-row
             # permutation gather: the gather ran at the random-access
             # locality floor (9.3 ms at N=2M) plus bf16 encode/decode
             # fusions, while two extra sort payloads cost ~2 ms at the
-            # measured sort rate. Packing bounds: tile coords and
-            # rect_w < 2^15; count < num_tiles + 1 <= 2^16 (same bound
-            # the previous 2-term bf16 encode assumed). num_keys=2
-            # (key, iota) keeps the permutation stable == jnp.argsort.
+            # measured sort rate. num_keys=2 (key, iota) keeps the
+            # permutation stable == jnp.argsort.
             p1 = (x0 << 16) | y0
             p2 = (rect_w << 16) | count
             _, order, p1s, p2s = jax.lax.sort(
@@ -311,7 +324,7 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
             aux_sorted = big[:, 4:]
             x0, y0, rect_w, count = (tab[:, 0], tab[:, 1], tab[:, 2],
                                      tab[:, 3])
-        else:
+        elif pack_ok:
             # Unpack the sorted payloads (see the sort above).
             if cull:
                 p1s, p2s = p1s[:nm], p2s[:nm]
@@ -319,6 +332,18 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
             y0 = p1s & 0xFFFF
             rect_w = p2s >> 16
             count = p2s & 0xFFFF
+        else:
+            # Packing-bound fallback (huge tile grids): one packed
+            # [N, 4] permutation gather of the rect table. All lanes
+            # are exact f32 values (< 2^24: tile coords < 2^15 by the
+            # projection clip, count <= num_tiles < 2^24 at any
+            # realistic resolution).
+            from .segment_reduce import permute_rows
+            tab = jnp.stack([x0, y0, rect_w, count],
+                            axis=1).astype(jnp.float32)
+            tab = jnp.round(permute_rows(tab, order)).astype(jnp.int32)
+            x0, y0, rect_w, count = (tab[:, 0], tab[:, 1], tab[:, 2],
+                                     tab[:, 3])
         active = count > 0
     else:
         order = None

@@ -68,6 +68,13 @@ K = B + 32       # WORST-CASE gaussian window per block: <= B starts
                  # budget): scenes with fat rects need far fewer than
                  # B starts per block.
 GROUP = 8        # blocks per grid step (amortizes per-step overhead)
+# Largest pair_budget the pallas expansion supports: the block-padded
+# slot count must stay below the bf16 sentinel BIG (slot indices ride
+# bf16 mask-split channels). Callers' adaptive budget regrows clamp to
+# this (~16.7M pairs, i.e. ~6-7M gaussians at the measured ~2.3
+# pairs/gaussian); past it, widen the sentinel split or use the xla
+# backend.
+MAX_PAIR_BUDGET = 0xFF0000 - GROUP * B
 BIG = 0xFF0000   # sentinel start: beyond any slot index; 8 significant
                  # bits -> exactly bf16-representable (hi-chunk aligned)
 INT_MAX = 2 ** 31 - 1  # python int: jnp constants would be captured consts

@@ -43,7 +43,14 @@ from ..models.gs_trainer import (_FIELDS, OptimizationConfig, StepMetrics,
 from ..ops.rasterizer import RenderCamera, render
 from ..utils import losses as loss_utils
 
+# Compiled shard_map train steps keyed on (mesh, camera intrinsics,
+# cfg, budgets). Bounded: a long-lived process sweeping resolutions or
+# budget configs would otherwise accumulate compiled executables
+# without eviction — evict FIFO past the cap (re-compiling an evicted
+# config is correct, just slow; training loops use one config at a
+# time plus a handful of budget regrows).
 _BAND_STEP_CACHE: dict = {}
+_BAND_STEP_CACHE_MAX = 16
 
 
 def band_train_step(state: TrainState, camera, gt_image, bg_color,
@@ -80,6 +87,8 @@ def band_train_step(state: TrainState, camera, gt_image, bg_color,
         fn = _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev,
                     band_rows, tile_h, sh_degree, max_per_tile,
                     pair_budget_mult, backend, expand_window, cull_n)
+        while len(_BAND_STEP_CACHE) >= _BAND_STEP_CACHE_MAX:
+            _BAND_STEP_CACHE.pop(next(iter(_BAND_STEP_CACHE)))
         _BAND_STEP_CACHE[key] = fn
 
     rep = NamedSharding(mesh, P())

@@ -1,0 +1,286 @@
+"""Full reference-cadence GS training at scale on TPU (VERDICT r4 #1).
+
+Runs the reference's REAL 30k-iteration optimization schedule
+(``/root/reference/gs-simp/arguments/__init__.py:76-95`` +
+``train.py:51-132``): densify every 100 iters in [500, 15000), opacity
+reset every 3000, exponential xyz LR over 30k steps, L1+SSIM
+(lambda_dssim 0.2) — on a scene whose detail pressure densifies the
+model past 1.5M live gaussians, on the actual chip. Unlike
+``exp_densify_scale.py`` (which compressed the doublings into 1-1.6k
+iters and disabled opacity resets to isolate growth mechanics), this is
+the operability proof: the trainer must survive the full workload —
+opacity-reset/prune cycles, capacity doublings mid-schedule, adaptive
+pair-budget regrows, 30k steps of wall-clock — and end with a real
+reconstruction (PSNR reported on a held-out view).
+
+Two modes:
+  --mode recon     30k-iter background-reconstruction schedule
+                   (OptimizationConfig defaults).
+  --mode inpaint   the stage-2 object-reconstruction schedule
+                   (``inpaint_rec.py:112-123``): dual loss — full-frame
+                   L1+SSIM on "inpainted" views alternating with
+                   background-masked L1+SSIM on "original" views
+                   (reference alternates losses over its two camera
+                   sets), same 30k/densify-100 cadence.
+
+The grad threshold is auto-calibrated once at the first densify event
+(the reference's fixed 2e-4 is tuned to COLMAP-initialised real
+captures; a synthetic subsample needs a scene-appropriate quantile —
+documented in the summary). A mid-run guard recalibrates (and logs it)
+if growth is badly off the >=1.5M track.
+
+    python -u scripts/run_reference_cadence.py --mode recon \
+        --out /tmp/ref_cadence_recon.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=("recon", "inpaint"), default="recon")
+    p.add_argument("--iters", type=int, default=30_000)
+    p.add_argument("--n_target", type=int, default=2_000_000)
+    p.add_argument("--n_init", type=int, default=250_000)
+    p.add_argument("--n_cams", type=int, default=10,
+                   help="orbit cameras; the last is held out for PSNR")
+    p.add_argument("--grow_frac", type=float, default=0.035,
+                   help="calibration quantile for the first densify "
+                        "event (fraction of live rows above threshold)")
+    p.add_argument("--pair_mult", type=float, default=3.0)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--out", default="/tmp/ref_cadence.jsonl")
+    p.add_argument("--eval_every", type=int, default=1000)
+    args = p.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from multiview_inpaint_tpu.gs import gaussians as g_mod
+    from multiview_inpaint_tpu.models import gs_trainer
+    from multiview_inpaint_tpu.ops.rasterizer import RenderCamera, render
+    from multiview_inpaint_tpu.utils.synthetic import make_big_scene
+    from scripts.exp_densify_scale import orbit_cameras
+
+    backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+    w, h = (128, 96) if args.cpu else (512, 384)
+    log(f"backend={jax.default_backend()} rasterizer={backend} "
+        f"mode={args.mode} {w}x{h} iters={args.iters}")
+    outf = open(args.out, "a", buffering=1)
+
+    def emit(row):
+        row["t_wall_s"] = round(time.time() - t_start, 1)
+        outf.write(json.dumps(row) + "\n")
+        print(json.dumps(row), flush=True)
+
+    t_start = time.time()
+    target = make_big_scene(args.n_target)
+    cams = orbit_cameras(args.n_cams, 3.2, w, h)
+    bg = jnp.zeros(3, jnp.float32)
+
+    t0 = time.time()
+    gts = []
+    for cam in cams:
+        out = render(target, RenderCamera.from_camera(cam), bg,
+                     sh_degree=0, backend=backend,
+                     pair_budget=int(2.6 * args.n_target),
+                     interpret=args.cpu)
+        gts.append(np.asarray(jnp.clip(out.rgb, 0, 1)))
+    del target
+    log(f"GT renders: {len(gts)} views in {time.time()-t0:.1f}s")
+    train_ids = list(range(args.n_cams - 1))
+    eval_id = args.n_cams - 1
+
+    # Inpaint mode: a centered box plays the object region. "Original"
+    # views use background-masked loss outside it; "inpainted" views use
+    # the full-frame loss (reference inpaint_rec.py dual objective).
+    mask = np.zeros((h, w), np.float32)
+    mask[h // 4: 3 * h // 4, w // 4: 3 * w // 4] = 1.0
+    mask_j = jnp.asarray(mask)
+
+    full = make_big_scene(args.n_target)
+    sel = np.random.default_rng(1).choice(
+        args.n_target, args.n_init, replace=False)
+    sel.sort()
+    init = g_mod.from_arrays(
+        np.asarray(full.xyz)[sel], np.asarray(full.features_dc)[sel],
+        np.asarray(full.features_rest)[sel],
+        np.asarray(full.opacity)[sel], np.asarray(full.scaling)[sel],
+        np.asarray(full.rotation)[sel],
+        capacity=-(-args.n_init // 8192) * 8192)
+    del full
+    state = gs_trainer.init_state(init)
+
+    if args.mode == "recon":
+        cfg = gs_trainer.OptimizationConfig(
+            iterations=args.iters, position_lr_max_steps=args.iters)
+    else:
+        base = gs_trainer.INPAINT_OPT
+        # Reference inpaint_rec runs the stage-2 preset for 30k iters
+        # (inpaint_rec.py:271-272 overrides iterations).
+        cfg = dataclasses.replace(
+            base, iterations=args.iters,
+            densify_until_iter=min(15_000, args.iters),
+            position_lr_max_steps=args.iters)
+    calibrated = False
+
+    key = jax.random.key(0)
+    spatial = 3.5
+    pair_mult = args.pair_mult
+    plateau = []
+    cur_cfg = (state.params.capacity, pair_mult)
+    events = {"rejit": 0, "regrow": 0, "recalibrate": 0,
+              "opacity_reset": 0, "doubling": 0}
+    rejit_s = []
+    first_loss = None
+    loss_now = None
+    t_cfg = time.time()
+
+    def eval_psnr():
+        out = render(state.params, RenderCamera.from_camera(cams[eval_id]),
+                     bg, sh_degree=0, backend=backend,
+                     pair_budget=int(pair_mult * state.params.capacity),
+                     interpret=args.cpu)
+        pred = np.asarray(jnp.clip(out.rgb, 0, 1))
+        mse = float(np.mean((pred - gts[eval_id]) ** 2))
+        return -10.0 * np.log10(max(mse, 1e-12))
+
+    step_hist = []      # (iter, live, step_ms) samples for the summary
+    for it in range(1, args.iters + 1):
+        view = train_ids[(it - 1) % len(train_ids)]
+        rcam = RenderCamera.from_camera(cams[view])
+        gt = jnp.asarray(gts[view])
+        if args.mode == "inpaint":
+            # Alternate the dual objective over the view ring: even
+            # slots are "original" views (background-preservation loss),
+            # odd slots "inpainted" (full-frame loss).
+            if view % 2 == 0:
+                lm, m = "background", mask_j
+            else:
+                lm, m = "full", None
+        else:
+            lm, m = "full", None
+        t0 = time.time()
+        state, metrics = gs_trainer.train_step(
+            state, rcam, gt, bg, cfg, spatial_lr_scale=spatial,
+            sh_degree=0, mask=m, loss_mode=lm,
+            pair_budget_mult=pair_mult, backend=backend)
+        if (state.params.capacity, pair_mult) != cur_cfg or it == 1:
+            jax.block_until_ready(metrics.loss)
+            dt = time.time() - t0
+            rejit_s.append(round(dt, 1))
+            events["rejit"] += 1
+            emit({"event": "rejit", "iter": it,
+                  "capacity": state.params.capacity,
+                  "pair_mult": pair_mult, "compile_s": round(dt, 1)})
+            cur_cfg = (state.params.capacity, pair_mult)
+            plateau = []
+            t_cfg = time.time()
+        else:
+            plateau.append(time.time() - t0)
+
+        if not calibrated and it == cfg.densify_from_iter - 1:
+            acc = np.asarray(state.stats.grad_accum)
+            den = np.asarray(state.stats.denom)
+            live_m = np.asarray(state.params.live) & (den > 0)
+            mean_g = acc[live_m] / den[live_m]
+            thr = float(np.quantile(mean_g, 1.0 - args.grow_frac))
+            cfg = dataclasses.replace(cfg, densify_grad_threshold=thr)
+            calibrated = True
+            emit({"event": "calibrate", "iter": it, "grad_thr": thr})
+
+        key, sub = jax.random.split(key)
+        state, info = gs_trainer.maybe_densify(state, sub, cfg, spatial, it)
+        grew = info and info.get("granted", 0) < info.get("wanted", 0)
+        state = gs_trainer.grow_if_needed(state, info)
+        if info.get("opacity_reset"):
+            events["opacity_reset"] += 1
+            emit({"event": "opacity_reset", "iter": it})
+        if grew:
+            events["doubling"] += 1
+            emit({"event": "doubling", "iter": it,
+                  "capacity": state.params.capacity, **{
+                      k: info[k] for k in ("wanted", "granted")}})
+
+        # Mid-run growth guard: if by 1/3 of the densify phase we're
+        # far off the >=1.5M track, recalibrate (honestly logged).
+        if (it in (5000, 9000) and args.iters >= 15_000
+                and int(np.sum(np.asarray(state.params.live))) <
+                args.n_init * (2.0 if it == 5000 else 4.0)):
+            acc = np.asarray(state.stats.grad_accum)
+            den = np.asarray(state.stats.denom)
+            live_m = np.asarray(state.params.live) & (den > 0)
+            mean_g = acc[live_m] / den[live_m]
+            thr = float(np.quantile(mean_g, 1.0 - args.grow_frac))
+            cfg = dataclasses.replace(cfg, densify_grad_threshold=thr)
+            events["recalibrate"] += 1
+            emit({"event": "recalibrate", "iter": it, "grad_thr": thr})
+
+        if it % 100 == 0 or it == args.iters:
+            loss_now = float(metrics.loss)
+            pairs = int(metrics.pairs)
+            live = int(metrics.num_live)
+            if first_loss is None:
+                first_loss = loss_now
+            assert np.isfinite(loss_now), f"loss diverged at {it}"
+            med = (sorted(plateau)[len(plateau) // 2] * 1e3
+                   if plateau else None)
+            if med:
+                step_hist.append((it, live, round(med, 1)))
+            if pairs > 0.85 * pair_mult * state.params.capacity:
+                pair_mult *= 2
+                events["regrow"] += 1
+                emit({"event": "pair_regrow", "iter": it,
+                      "pair_mult": pair_mult, "pairs": pairs})
+            row = {"event": "progress", "iter": it,
+                   "loss": round(loss_now, 5), "live": live,
+                   "capacity": state.params.capacity, "pairs": pairs,
+                   "expand_needed": int(metrics.expand_needed),
+                   "step_ms_median": med and round(med, 2),
+                   "lr_xyz_scale": round(float(
+                       it / cfg.position_lr_max_steps), 3)}
+            if it % args.eval_every == 0 or it == args.iters:
+                row["psnr_holdout"] = round(eval_psnr(), 2)
+            emit(row)
+
+    total_s = time.time() - t_start
+    live = int(np.sum(np.asarray(state.params.live)))
+    # steps/sec at the final plateau (the at-scale number for BENCH).
+    tail = [ms for (_, lv, ms) in step_hist[-5:]]
+    emit({"event": "summary", "mode": args.mode,
+          "iters": args.iters, "total_wall_s": round(total_s, 1),
+          "final_live": live, "final_capacity": state.params.capacity,
+          "doublings": events["doubling"], "rejits": events["rejit"],
+          "rejit_s": rejit_s, "pair_regrows": events["regrow"],
+          "opacity_resets": events["opacity_reset"],
+          "recalibrations": events["recalibrate"],
+          "first_loss": round(first_loss, 5),
+          "final_loss": round(loss_now, 5),
+          "psnr_holdout_final": round(eval_psnr(), 2),
+          "final_step_ms": tail and round(float(np.median(tail)), 1),
+          "steps_per_sec_overall": round(args.iters / total_s, 2),
+          "step_hist_tail": step_hist[-10:],
+          "reached_1p5m": live >= 1_500_000})
+    outf.close()
+
+
+if __name__ == "__main__":
+    main()

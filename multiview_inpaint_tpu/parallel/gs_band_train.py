@@ -60,6 +60,7 @@ def band_train_step(state: TrainState, camera, gt_image, bg_color,
                     pair_budget_mult: float = 2.0,
                     backend: str = "xla", expand_window: int = 0,
                     cull_n: int | None = None,
+                    zero_sharded: bool = False,
                     ) -> tuple[TrainState, StepMetrics]:
     """One full-frame optimization iteration, band-sharded over
     ``mesh[axis]``.
@@ -71,6 +72,21 @@ def band_train_step(state: TrainState, camera, gt_image, bg_color,
     gaussian count. ``metrics.pairs`` is the summed full-frame true
     pair count and ``expand_needed`` the per-band max, so the usual
     host-side budget-growth checks apply per band.
+
+    ``zero_sharded`` (ZeRO-style): instead of psum-ing full [N, ...]
+    gradients and replicating Adam, the gradients are REDUCE-SCATTERED
+    over the capacity rows (each device owns rows [d*N/D, (d+1)*N/D)),
+    Adam and the densify-stat accumulation run on the local 1/D rows
+    only (optimizer moments and stats live sharded across the mesh —
+    2x-params moment memory and the N-proportional optimizer math both
+    drop by D), and the updated parameter rows are all-gathered back to
+    the replicated layout the next render needs. Per-device comm per
+    step: (D-1)/D * grad_bytes (reduce-scatter) + (D-1)/D *
+    param_bytes (all-gather) — byte-equal to the old psum's all-reduce,
+    so the win is the sharded optimizer/stats compute and memory, not
+    bytes. The returned TrainState is numerically the same state, with
+    mu/nu/stats left sharded (global arrays — host-side densify code
+    reads them transparently).
     """
     cam = (camera if isinstance(camera, RenderCamera)
            else RenderCamera.from_camera(camera))
@@ -78,23 +94,38 @@ def band_train_step(state: TrainState, camera, gt_image, bg_color,
     tile_h = 16
     tiles_y = -(-cam.height // tile_h)
     band_rows = -(-tiles_y // n_dev)
+    if zero_sharded and state.params.capacity % n_dev:
+        raise ValueError(f"zero_sharded needs capacity "
+                         f"{state.params.capacity} divisible by {n_dev}")
 
     key = (mesh, axis, band_rows, cam.width, cam.height, cam.tan_fovx,
            cam.tan_fovy, cfg, spatial_lr_scale, sh_degree, max_per_tile,
-           pair_budget_mult, backend, expand_window, cull_n)
+           pair_budget_mult, backend, expand_window, cull_n, zero_sharded)
     fn = _BAND_STEP_CACHE.get(key)
     if fn is None:
         fn = _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev,
                     band_rows, tile_h, sh_degree, max_per_tile,
-                    pair_budget_mult, backend, expand_window, cull_n)
+                    pair_budget_mult, backend, expand_window, cull_n,
+                    zero_sharded)
         while len(_BAND_STEP_CACHE) >= _BAND_STEP_CACHE_MAX:
             _BAND_STEP_CACHE.pop(next(iter(_BAND_STEP_CACHE)))
         _BAND_STEP_CACHE[key] = fn
 
     rep = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
-    state_r = jax.tree_util.tree_map(
-        lambda a: jax.device_put(a, rep), state)
+    if zero_sharded:
+        opt = NamedSharding(mesh, P(axis))
+        state_r = TrainState(
+            params=jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, rep), state.params),
+            mu={f: jax.device_put(v, opt) for f, v in state.mu.items()},
+            nu={f: jax.device_put(v, opt) for f, v in state.nu.items()},
+            stats=jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, opt), state.stats),
+            step=jax.device_put(state.step, rep))
+    else:
+        state_r = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, rep), state)
     row0s = jax.device_put(jnp.arange(n_dev, dtype=jnp.int32), shard)
     return fn(state_r, jax.device_put(jnp.asarray(gt_image), rep),
               jax.device_put(jnp.asarray(bg_color, jnp.float32), rep),
@@ -105,7 +136,7 @@ def band_train_step(state: TrainState, camera, gt_image, bg_color,
 
 def _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev, band_rows,
            tile_h, sh_degree, max_per_tile, pair_budget_mult, backend,
-           expand_window, cull_n):
+           expand_window, cull_n, zero_sharded=False):
     h = cam.height
 
     def shard_fn(state, gt, bg, wv, fp, cc, row0):
@@ -156,13 +187,6 @@ def _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev, band_rows,
          (g_fields, g_offset)) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(float_fields, offset)
 
-        # Full-frame gradients = sum of per-band pair contributions.
-        g_fields = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, axis), g_fields)
-        g_offset = jax.lax.psum(g_offset, axis)
-
-        # Grouped Adam — identical to gs_trainer.train_step (replicated
-        # inputs + psum'd grads => identical updates on every device).
         step = state.step + 1
         lrs = _group_lrs(cfg, step, spatial_lr_scale)
         b1, b2, eps = 0.9, 0.999, 1e-15
@@ -170,21 +194,57 @@ def _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev, band_rows,
         bc1 = 1.0 - b1 ** t
         bc2 = 1.0 - b2 ** t
         new_fields, new_mu, new_nu = {}, {}, {}
-        for f in _FIELDS:
-            g = g_fields[f]
-            rowmask = p.live.reshape((n,) + (1,) * (g.ndim - 1))
-            g = jnp.where(rowmask, g, 0.0)
-            mo = b1 * state.mu[f] + (1 - b1) * g
-            v = b2 * state.nu[f] + (1 - b2) * g * g
-            upd = lrs[f] * (mo / bc1) / (jnp.sqrt(v / bc2) + eps)
-            new_fields[f] = float_fields[f] - jnp.where(rowmask, upd, 0.0)
-            new_mu[f] = mo
-            new_nu[f] = v
+        if zero_sharded:
+            # ZeRO: reduce-scatter grads over capacity rows; Adam and
+            # stats on the local 1/D rows; all-gather updated params.
+            n_loc = n // n_dev
+            r0 = jax.lax.axis_index(axis) * n_loc
+            live_loc = jax.lax.dynamic_slice_in_dim(p.live, r0, n_loc)
+            for f in _FIELDS:
+                g = jax.lax.psum_scatter(g_fields[f], axis,
+                                         scatter_dimension=0, tiled=True)
+                rowmask = live_loc.reshape((n_loc,) + (1,) * (g.ndim - 1))
+                g = jnp.where(rowmask, g, 0.0)
+                mo = b1 * state.mu[f] + (1 - b1) * g
+                v = b2 * state.nu[f] + (1 - b2) * g * g
+                upd = lrs[f] * (mo / bc1) / (jnp.sqrt(v / bc2) + eps)
+                loc = jax.lax.dynamic_slice_in_dim(float_fields[f], r0,
+                                                   n_loc)
+                new_loc = loc - jnp.where(rowmask, upd, 0.0)
+                new_fields[f] = jax.lax.all_gather(new_loc, axis,
+                                                   tiled=True)
+                new_mu[f] = mo
+                new_nu[f] = v
+            g_off_loc = jax.lax.psum_scatter(
+                g_offset, axis, scatter_dimension=0, tiled=True)
+            new_stats = state.stats.update(
+                g_off_loc,
+                jax.lax.dynamic_slice_in_dim(radii, r0, n_loc),
+                jax.lax.dynamic_slice_in_dim(vis, r0, n_loc))
+        else:
+            # Full-frame gradients = sum of per-band pair contributions.
+            g_fields = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, axis), g_fields)
+            g_offset = jax.lax.psum(g_offset, axis)
+            # Grouped Adam — identical to gs_trainer.train_step
+            # (replicated inputs + psum'd grads => identical updates on
+            # every device).
+            for f in _FIELDS:
+                g = g_fields[f]
+                rowmask = p.live.reshape((n,) + (1,) * (g.ndim - 1))
+                g = jnp.where(rowmask, g, 0.0)
+                mo = b1 * state.mu[f] + (1 - b1) * g
+                v = b2 * state.nu[f] + (1 - b2) * g * g
+                upd = lrs[f] * (mo / bc1) / (jnp.sqrt(v / bc2) + eps)
+                new_fields[f] = (float_fields[f]
+                                 - jnp.where(rowmask, upd, 0.0))
+                new_mu[f] = mo
+                new_nu[f] = v
+            # radii/visibility come from the replicated projection —
+            # every band computes the same full-N values.
+            new_stats = state.stats.update(g_offset, radii, vis)
 
         new_params = GaussianParams(live=p.live, **new_fields)
-        # radii/visibility come from the replicated projection — every
-        # band computes the same full-N values (render_parallel note).
-        new_stats = state.stats.update(g_offset, radii, vis)
         new_state = TrainState(params=new_params, mu=new_mu, nu=new_nu,
                                stats=new_stats, step=step)
         metrics = StepMetrics(
@@ -193,7 +253,12 @@ def _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev, band_rows,
             expand_needed=jax.lax.pmax(expand_needed, axis))
         return new_state, metrics
 
+    opt_spec = P(axis) if zero_sharded else P()
+    state_spec = TrainState(params=P(), mu=opt_spec, nu=opt_spec,
+                            stats=opt_spec, step=P())
+    metric_spec = StepMetrics(loss=P(), l1=P(), num_live=P(),
+                              pairs=P(), expand_needed=P())
     return jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(axis)),
-        out_specs=P(), check_vma=False))
+        in_specs=(state_spec, P(), P(), P(), P(), P(), P(axis)),
+        out_specs=(state_spec, metric_spec), check_vma=False))

@@ -113,3 +113,45 @@ def test_band_step_threads_and_culls(setup):
         gs_trainer.init_state(p), rc, gt, bg, cfg, 1.0, mesh,
         pair_budget_mult=8, backend="xla")
     _assert_state_close(s_cull, s_ref)
+
+
+def test_band_step_zero_sharded_matches(setup):
+    """ZeRO-sharded band step == single-device step: reduce-scattered
+    grads + per-shard Adam/stats + param all-gather produce the same
+    state (up to f32 reduction order), with optimizer moments and
+    densify stats left SHARDED over the mesh (1/D per device)."""
+    p, rc, gt, bg, cfg = setup
+    mesh = make_mesh(8)
+    state0 = gs_trainer.init_state(p)
+
+    ref_state, ref_m = gs_trainer.train_step(
+        state0, rc, gt, bg, cfg, spatial_lr_scale=1.0,
+        pair_budget_mult=8, backend="xla")
+    z_state, z_m = band_train_step(
+        state0, rc, gt, bg, cfg, spatial_lr_scale=1.0, mesh=mesh,
+        pair_budget_mult=8, backend="xla", zero_sharded=True)
+
+    np.testing.assert_allclose(float(z_m.loss), float(ref_m.loss),
+                               rtol=1e-6)
+    assert int(z_m.pairs) == int(ref_m.pairs)
+    _assert_state_close(z_state, ref_state)
+    for f in gs_trainer._FIELDS:
+        np.testing.assert_allclose(np.asarray(z_state.nu[f]),
+                                   np.asarray(ref_state.nu[f]),
+                                   rtol=3e-5, atol=1e-10, err_msg=f)
+    np.testing.assert_allclose(np.asarray(z_state.stats.grad_accum),
+                               np.asarray(ref_state.stats.grad_accum),
+                               rtol=3e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(z_state.stats.denom),
+                                  np.asarray(ref_state.stats.denom))
+    # Moments/stats really are sharded (params replicated for render).
+    mu_shard = z_state.mu["xyz"].sharding
+    assert not mu_shard.is_fully_replicated
+    assert z_state.params.xyz.sharding.is_fully_replicated
+    # And the sharded state chains: a second ZeRO step keeps training.
+    z2, m2 = band_train_step(z_state, rc, gt, bg, cfg, 1.0, mesh,
+                             pair_budget_mult=8, backend="xla",
+                             zero_sharded=True)
+    assert np.isfinite(float(m2.loss))
+    assert float(m2.loss) < float(z_m.loss)
+    assert int(z2.step) == 2

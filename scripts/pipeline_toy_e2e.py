@@ -6,6 +6,7 @@ directory-contract artifact and that stage-2 reconstruction improves over
 the seeded initialization:
 
     train_gs -> delete -> gen_seq -> sds_train(--no_sds) -> gen_depth ->
+    ctrl_inpaint(--tiny, random weights; curated into ctrl1/) ->
     svd_test(--tiny_model, random weights) -> divide_test -> seg_masks ->
     inpaint_rec -> vis_render -> vis -> cmp
 
@@ -34,11 +35,12 @@ import numpy as np  # noqa: E402
 
 from multiview_inpaint_tpu.config.registries import FRONT_VIEWS  # noqa
 from multiview_inpaint_tpu.gs import gaussians, scene_io  # noqa: E402
-from multiview_inpaint_tpu.pipelines import (cmp, delete, divide_test,  # noqa
-                                             gen_depth, gen_seq,
-                                             inpaint_rec, sds_train,
-                                             seg_masks, svd_test,
-                                             train_gs, vis, vis_render)
+from multiview_inpaint_tpu.pipelines import (cmp, ctrl_inpaint, delete,  # noqa
+                                             divide_test, gen_depth,
+                                             gen_seq, inpaint_rec,
+                                             sds_train, seg_masks,
+                                             svd_test, train_gs, vis,
+                                             vis_render)
 from multiview_inpaint_tpu.utils.synthetic import (make_colmap_scene,  # noqa
                                                    write_cube_obj)
 
@@ -48,6 +50,81 @@ SIZE = (64, 48)
 
 def step(name):
     print(f"\n=== {name} " + "=" * max(0, 60 - len(name)), flush=True)
+
+
+def _tiny_sd_ckpts(out_dir):
+    """Tiny random SD-inpaint + ControlNet-depth torch checkpoints in
+    the exact key spaces ``weights_io.import_{unet,vae,controlnet}``
+    consume (same synth scheme as tests/test_pipelines_stage2.py's
+    ctrl_inpaint CLI test — the importers' torch-golden suites pin the
+    key mapping; here they gate the e2e flow)."""
+    import torch
+    from flax.traverse_util import flatten_dict
+
+    from multiview_inpaint_tpu.diffusion.controlnet2d import ControlNet2D
+    from multiview_inpaint_tpu.diffusion.unet2d import (UNet2D,
+                                                        UNet2DConfig)
+    from multiview_inpaint_tpu.diffusion.vae import (AutoencoderKL,
+                                                     VAEConfig)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from test_weights_io import (_to_torch_layout, _unet_path_to_torch,
+                                 _vae_path_to_torch)
+
+    cfg2d = UNet2DConfig(model_channels=32, num_res_blocks=1,
+                         attention_resolutions=(1,), channel_mult=(1, 2),
+                         num_head_channels=16, context_dim=16)
+    key = jax.random.key(0)
+    size, s = 64, 8
+    import jax.numpy as jnp
+    up = UNet2D(cfg2d).init(key, jnp.zeros((1, s, s, 9)),
+                            jnp.zeros((1,)), jnp.zeros((1, 4, 16)))["params"]
+    cp = ControlNet2D(cfg2d).init(key, jnp.zeros((1, s, s, 9)),
+                                  jnp.zeros((1, size, size, 3)),
+                                  jnp.zeros((1,)),
+                                  jnp.zeros((1, 4, 16)))["params"]
+    vp = AutoencoderKL(VAEConfig(ch=16, ch_mult=(1, 2, 4, 4),
+                                 num_res_blocks=1),
+                       video_decoder=False).init(
+        key, jnp.zeros((1, 16, 16, 3)))["params"]
+
+    rng = np.random.default_rng(0)
+
+    def synth(params, prefix, keyfn):
+        sd = {}
+        for path, leaf in flatten_dict(params).items():
+            tk = prefix + keyfn(list(path))
+            sd[tk] = torch.from_numpy(_to_torch_layout(
+                0.05 * rng.normal(size=np.asarray(leaf).shape)
+                .astype(np.float32)))
+        return sd
+
+    def ctrl_key(parts):
+        if parts[0] == "trunk":
+            return _unet_path_to_torch(parts[1:])
+        if parts[0].startswith("input_hint_block_"):
+            idx = parts[0].rsplit("_", 1)[1]
+            return (f"input_hint_block.{idx}."
+                    + {"kernel": "weight", "bias": "bias"}[parts[1]])
+        if parts[0].startswith("zero_convs_"):
+            idx = parts[0].split("_")[2]
+            return (f"zero_convs.{idx}.0."
+                    + {"kernel": "weight", "bias": "bias"}[parts[1]])
+        return ("middle_block_out.0."
+                + {"kernel": "weight", "bias": "bias"}[parts[1]])
+
+    os.makedirs(out_dir, exist_ok=True)
+    sd = synth(up, "model.diffusion_model.", _unet_path_to_torch)
+    sd.update(synth(vp, "first_stage_model.", _vae_path_to_torch))
+    sd_path = os.path.join(out_dir, "sd.ckpt")
+    torch.save({"state_dict": sd}, sd_path)
+    csd = synth(cp, "control_model.", ctrl_key)
+    ctrl_path = os.path.join(out_dir, "ctrl.ckpt")
+    torch.save({"state_dict": csd}, ctrl_path)
+    embs = os.path.join(out_dir, "embs.npy")
+    np.save(embs, rng.normal(size=(2, 4, 16)).astype(np.float32))
+    return sd_path, ctrl_path, embs
 
 
 def main():
@@ -100,20 +177,35 @@ def main():
                     "--sds_iteration", str(SDS_IT),
                     "--frames", str(FRAMES), "--allow_default_orbit"])
 
-    step("6. svd_test (multi-view inpainting, tiny random weights)")
+    step("6. ctrl_inpaint (single-view candidates, tiny random weights)")
     data_root = os.path.join(root, "inpaint")
+    sd_path, ctrl_path, embs = _tiny_sd_ckpts(os.path.join(root, "ckpts"))
+    ctrl_inpaint.main(["--scene_id", "toy_case", "--workspace", root,
+                       "--sd_ckpt", sd_path, "--ctrl_ckpt", ctrl_path,
+                       "--text_embs", embs, "--tiny",
+                       "--context_dim", "16", "--size", "64",
+                       "--iteration", str(IT), "--n_samples", "2",
+                       "--num_steps", "2"])
+    cand_dir = os.path.join(data_root, "ctrl", "toy_case")
+    cands = sorted(os.listdir(cand_dir))
+    assert cands == ["ctrl_0.png", "ctrl_1.png"], cands
+    # The reference flow curates the best candidate into ctrl1/ by hand
+    # (README.md step between ctrl_inpaint and test.py); the toy drive
+    # "curates" candidate 0 — this is the exact directory contract
+    # svd_test's dataset reads (inpaint/ctrl1/<scene>/ctrl_<k>.png).
     ctrl_dir = os.path.join(data_root, "ctrl1", "toy_case")
     os.makedirs(ctrl_dir, exist_ok=True)
-    shutil.copy(os.path.join(data_root, "seq", "toy_case", "x1",
-                             f"ours_{IT}", "renders", "00.png"),
+    shutil.copy(os.path.join(cand_dir, "ctrl_0.png"),
                 os.path.join(ctrl_dir, "ctrl_0.png"))
+
+    step("7. svd_test (multi-view inpainting, tiny random weights)")
     logdir = os.path.join(root, "logs", "test")
     svd_test.main(["--data_root", data_root, "--logdir", logdir,
                    "--tiny_model", "--num_frames", str(FRAMES),
                    "--num_steps", "2", "--size", str(SIZE[0]),
                    str(SIZE[1]), "--iteration", str(IT)])
 
-    step("7. divide_test (grid split + preview video)")
+    step("8. divide_test (grid split + preview video)")
     divide_test.main(["--grid_dir",
                       os.path.join(logdir, "log_img", "test"),
                       "--out", os.path.join(root, "divided"),
@@ -122,12 +214,12 @@ def main():
                       "--frame_size", str(SIZE[0]), str(SIZE[1]),
                       "--num_frames", str(FRAMES)])
 
-    step("8. seg_masks (object segmentation for recomposition)")
+    step("9. seg_masks (object segmentation for recomposition)")
     seg_masks.main(["--scene_id", "toy_case", "--ctrl_id", "0", "--auto",
                     "--frames", str(FRAMES), "--iteration", str(IT),
                     "--workspace", root])
 
-    step("9. inpaint_rec (stage-2 object reconstruction)")
+    step("10. inpaint_rec (stage-2 object reconstruction)")
     rec = os.path.join(root, "output_rec", "toy_case")
     inpaint_rec.main(["-s", src, "-m", rec, "--scene_id", "toy_case",
                       "--ctrl_id", "0", "--bg_model", model,
@@ -150,7 +242,7 @@ def main():
                        f"iteration_{REC_IT}", "point_cloud.ply")
     assert int(gaussians.load_ply(ply, 0).num_live()) > 0
 
-    step("10. vis_render + vis (result sweeps)")
+    step("11. vis_render + vis (result sweeps)")
     vis_render.main(["-s", src, "-m", model, "--scene_id", "toy_case",
                      "--resolution", "1", "--workspace", root,
                      "--rec_model", os.path.join(rec, "ctrl_0"),
@@ -162,7 +254,7 @@ def main():
                         "ctrl_0", "renders")
     vis.main(["--frames_dir", rdir])
 
-    step("11. cmp (evaluation report)")
+    step("12. cmp (evaluation report)")
     cmp_root = os.path.join(root, "vis", "cmp", "exp")
     shutil.copytree(rdir, os.path.join(cmp_root, "inpainted", "toy_case",
                                        f"ours_{REC_IT}", "renders"))

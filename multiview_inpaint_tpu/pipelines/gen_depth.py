@@ -45,6 +45,15 @@ def main(argv=None):
     parser.add_argument("--from_est", default=None,
                         help="import external depth maps "
                              "(<mode>/NN.png) instead of rendering")
+    parser.add_argument("--dpt_ckpt", default=None,
+                        help="torch DPTForDepthEstimation checkpoint: "
+                             "run the native monocular DPT head over the "
+                             "coarse renders (the reference's exact "
+                             "behavior — HF pipeline('depth-estimation'), "
+                             "gen_depth.py:16-40) instead of exact "
+                             "rendered disparity")
+    parser.add_argument("--dpt_size", type=int, default=384,
+                        help="DPT processor grid (HF default 384)")
     parser.add_argument("--modes", nargs="+", default=["x1", "x2"])
     parser.add_argument("--frames", type=int, default=14)
     parser.add_argument("--workspace", default=".")
@@ -81,6 +90,12 @@ def main(argv=None):
     front = scene.front_view()
     bg = common.default_background(args.white_background)
     import jax.numpy as jnp
+    dpt = None
+    if args.dpt_ckpt:
+        from ..models.dpt import estimate_depth, load_dpt_torch
+        _, dpt_model, dpt_params = load_dpt_torch(args.dpt_ckpt)
+        dpt = lambda rgb: estimate_depth(  # noqa: E731
+            dpt_model, dpt_params, rgb, proc_size=args.dpt_size)
     for mode in args.modes:
         views = orbit_cameras(
             front, box, mode=mode, frames=args.frames,
@@ -95,11 +110,14 @@ def main(argv=None):
                          sh_degree=args.sh_degree,
                          pair_budget=8 * params.capacity,
                          backend=common.resolve_backend(args.backend))
-            depth = np.asarray(out.depth)
-            disp = 1.0 / np.clip(depth, 0.1, None)
-            disp[depth >= DEPTH_EMPTY - 1e-3] = 0.0
-            if disp.max() > 0:
-                disp = disp / disp.max()
+            if dpt is not None:
+                disp = dpt(np.clip(np.asarray(out.rgb), 0.0, 1.0))
+            else:
+                depth = np.asarray(out.depth)
+                disp = 1.0 / np.clip(depth, 0.1, None)
+                disp[depth >= DEPTH_EMPTY - 1e-3] = 0.0
+                if disp.max() > 0:
+                    disp = disp / disp.max()
             scene_io.save_image(
                 os.path.join(out_dir, f"{view.image_name}.png"),
                 np.repeat(disp[..., None], 3, axis=-1))

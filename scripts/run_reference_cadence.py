@@ -23,11 +23,20 @@ Two modes:
                    (reference alternates losses over its two camera
                    sets), same 30k/densify-100 cadence.
 
-The grad threshold is auto-calibrated once at the first densify event
-(the reference's fixed 2e-4 is tuned to COLMAP-initialised real
-captures; a synthetic subsample needs a scene-appropriate quantile —
-documented in the summary). A mid-run guard recalibrates (and logs it)
-if growth is badly off the >=1.5M track.
+The grad threshold is auto-calibrated (the reference's fixed 2e-4 is
+tuned to COLMAP-initialised real captures; a synthetic subsample needs a
+scene-appropriate value): one iteration before every densify event the
+threshold is set on-device to the k-th largest live mean-gradient,
+where k tracks a linear live-count ramp from n_init at iter 500 to
+~1.8M at the end of the densify phase. Selection-by-quantile is the
+only deviation from the fixed-threshold reference rule (every other
+cadence mechanism — intervals, opacity resets, min-opacity/screen-size
+pruning, clone-vs-split, LR schedule — is the reference's); it is
+logged per event as ``grad_thr`` so the trajectory is auditable. The
+first run of this script used a fixed first-event quantile and stalled:
+post-reset pruning outpaced growth (live 315k -> 122k) and a host-side
+recalibration crashed on an empty array right after the stats reset —
+the per-event on-device controller fixes both.
 
     python -u scripts/run_reference_cadence.py --mode recon \
         --out /tmp/ref_cadence_recon.jsonl
@@ -58,11 +67,18 @@ def main():
     p.add_argument("--iters", type=int, default=30_000)
     p.add_argument("--n_target", type=int, default=2_000_000)
     p.add_argument("--n_init", type=int, default=250_000)
-    p.add_argument("--n_cams", type=int, default=10,
-                   help="orbit cameras; the last is held out for PSNR")
-    p.add_argument("--grow_frac", type=float, default=0.035,
-                   help="calibration quantile for the first densify "
-                        "event (fraction of live rows above threshold)")
+    p.add_argument("--n_cams", type=int, default=24,
+                   help="orbit cameras; the last is held out for PSNR "
+                        "(reference captures carry 100-300 views; 23 "
+                        "train views keeps each gaussian visible from "
+                        "several angles so opacity can recover between "
+                        "reset and the next prune)")
+    p.add_argument("--grow_frac_max", type=float, default=0.04,
+                   help="per-event cap on the densify budget as a "
+                        "fraction of live rows")
+    p.add_argument("--n_live_target", type=int, default=1_800_000,
+                   help="live-count ramp endpoint for the threshold "
+                        "controller (reached near densify_until_iter)")
     p.add_argument("--pair_mult", type=float, default=3.0)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="/tmp/ref_cadence.jsonl")
@@ -93,8 +109,10 @@ def main():
 
     t_start = time.time()
     target = make_big_scene(args.n_target)
+    jax.block_until_ready(target.xyz)
     cams = orbit_cameras(args.n_cams, 3.2, w, h)
     bg = jnp.zeros(3, jnp.float32)
+    emit({"event": "scene_ready", "n_target": args.n_target})
 
     t0 = time.time()
     gts = []
@@ -104,8 +122,8 @@ def main():
                      pair_budget=int(2.6 * args.n_target),
                      interpret=args.cpu)
         gts.append(np.asarray(jnp.clip(out.rgb, 0, 1)))
-    del target
     log(f"GT renders: {len(gts)} views in {time.time()-t0:.1f}s")
+    emit({"event": "gt_done", "views": len(gts)})
     train_ids = list(range(args.n_cams - 1))
     eval_id = args.n_cams - 1
 
@@ -116,18 +134,19 @@ def main():
     mask[h // 4: 3 * h // 4, w // 4: 3 * w // 4] = 1.0
     mask_j = jnp.asarray(mask)
 
-    full = make_big_scene(args.n_target)
     sel = np.random.default_rng(1).choice(
         args.n_target, args.n_init, replace=False)
     sel.sort()
     init = g_mod.from_arrays(
-        np.asarray(full.xyz)[sel], np.asarray(full.features_dc)[sel],
-        np.asarray(full.features_rest)[sel],
-        np.asarray(full.opacity)[sel], np.asarray(full.scaling)[sel],
-        np.asarray(full.rotation)[sel],
+        np.asarray(target.xyz)[sel], np.asarray(target.features_dc)[sel],
+        np.asarray(target.features_rest)[sel],
+        np.asarray(target.opacity)[sel], np.asarray(target.scaling)[sel],
+        np.asarray(target.rotation)[sel],
         capacity=-(-args.n_init // 8192) * 8192)
-    del full
+    del target
     state = gs_trainer.init_state(init)
+    emit({"event": "init_done", "n_init": args.n_init,
+          "capacity": state.params.capacity})
 
     if args.mode == "recon":
         cfg = gs_trainer.OptimizationConfig(
@@ -140,15 +159,27 @@ def main():
             base, iterations=args.iters,
             densify_until_iter=min(15_000, args.iters),
             position_lr_max_steps=args.iters)
-    calibrated = False
+
+    @jax.jit
+    def _thr_for_budget(acc, den, live, k):
+        """k-th largest live mean-gradient, on device (no host quantile
+        on possibly-empty arrays — the stats reset right after a densify
+        event empties the valid set)."""
+        valid = live & (den > 0)
+        mean_g = jnp.where(valid, acc / jnp.maximum(den, 1.0), -jnp.inf)
+        s = jnp.sort(mean_g)                      # ascending, -inf first
+        n_valid = jnp.sum(valid)
+        k = jnp.clip(k, 1, jnp.maximum(n_valid - 1, 1))
+        return s[acc.shape[0] - 1 - k]
 
     key = jax.random.key(0)
     spatial = 3.5
     pair_mult = args.pair_mult
     plateau = []
     cur_cfg = (state.params.capacity, pair_mult)
-    events = {"rejit": 0, "regrow": 0, "recalibrate": 0,
+    events = {"rejit": 0, "regrow": 0, "calibrate": 0,
               "opacity_reset": 0, "doubling": 0}
+    last_thr = None
     rejit_s = []
     first_loss = None
     loss_now = None
@@ -197,15 +228,25 @@ def main():
         else:
             plateau.append(time.time() - t0)
 
-        if not calibrated and it == cfg.densify_from_iter - 1:
-            acc = np.asarray(state.stats.grad_accum)
-            den = np.asarray(state.stats.denom)
-            live_m = np.asarray(state.params.live) & (den > 0)
-            mean_g = acc[live_m] / den[live_m]
-            thr = float(np.quantile(mean_g, 1.0 - args.grow_frac))
+        # Budgeted threshold controller: right before each densify event
+        # (stats still intact), set the threshold to the k-th largest
+        # live mean-gradient where k tracks the live-count ramp.
+        if (it < cfg.densify_until_iter and it >= cfg.densify_from_iter
+                and it % cfg.densification_interval == 0):
+            live_now = int(jnp.sum(state.params.live))
+            ramp_end = cfg.densify_until_iter - 2 * cfg.densification_interval
+            frac = min(max((it - cfg.densify_from_iter)
+                           / max(ramp_end - cfg.densify_from_iter, 1), 0.0),
+                       1.0)
+            tgt = int(args.n_init + (args.n_live_target - args.n_init) * frac)
+            k = int(np.clip(tgt - live_now, max(1, int(0.002 * live_now)),
+                            int(args.grow_frac_max * live_now)))
+            thr = float(_thr_for_budget(
+                state.stats.grad_accum, state.stats.denom,
+                state.params.live, jnp.int32(k)))
             cfg = dataclasses.replace(cfg, densify_grad_threshold=thr)
-            calibrated = True
-            emit({"event": "calibrate", "iter": it, "grad_thr": thr})
+            events["calibrate"] += 1
+            last_thr = (round(thr, 6), k, tgt)
 
         key, sub = jax.random.split(key)
         state, info = gs_trainer.maybe_densify(state, sub, cfg, spatial, it)
@@ -219,20 +260,6 @@ def main():
             emit({"event": "doubling", "iter": it,
                   "capacity": state.params.capacity, **{
                       k: info[k] for k in ("wanted", "granted")}})
-
-        # Mid-run growth guard: if by 1/3 of the densify phase we're
-        # far off the >=1.5M track, recalibrate (honestly logged).
-        if (it in (5000, 9000) and args.iters >= 15_000
-                and int(np.sum(np.asarray(state.params.live))) <
-                args.n_init * (2.0 if it == 5000 else 4.0)):
-            acc = np.asarray(state.stats.grad_accum)
-            den = np.asarray(state.stats.denom)
-            live_m = np.asarray(state.params.live) & (den > 0)
-            mean_g = acc[live_m] / den[live_m]
-            thr = float(np.quantile(mean_g, 1.0 - args.grow_frac))
-            cfg = dataclasses.replace(cfg, densify_grad_threshold=thr)
-            events["recalibrate"] += 1
-            emit({"event": "recalibrate", "iter": it, "grad_thr": thr})
 
         if it % 100 == 0 or it == args.iters:
             loss_now = float(metrics.loss)
@@ -257,6 +284,10 @@ def main():
                    "step_ms_median": med and round(med, 2),
                    "lr_xyz_scale": round(float(
                        it / cfg.position_lr_max_steps), 3)}
+            if last_thr is not None:
+                row["grad_thr"], row["densify_k"], row["live_target"] = \
+                    last_thr
+                last_thr = None
             if it % args.eval_every == 0 or it == args.iters:
                 row["psnr_holdout"] = round(eval_psnr(), 2)
             emit(row)
@@ -271,7 +302,7 @@ def main():
           "doublings": events["doubling"], "rejits": events["rejit"],
           "rejit_s": rejit_s, "pair_regrows": events["regrow"],
           "opacity_resets": events["opacity_reset"],
-          "recalibrations": events["recalibrate"],
+          "calibrations": events["calibrate"],
           "first_loss": round(first_loss, 5),
           "final_loss": round(loss_now, 5),
           "psnr_holdout_final": round(eval_psnr(), 2),
@@ -279,6 +310,10 @@ def main():
           "steps_per_sec_overall": round(args.iters / total_s, 2),
           "step_hist_tail": step_hist[-10:],
           "reached_1p5m": live >= 1_500_000})
+    from multiview_inpaint_tpu.gs import gaussians as gply
+    ply_path = args.out.rsplit(".", 1)[0] + "_final.ply"
+    gply.save_ply(state.params, ply_path)
+    emit({"event": "ply_saved", "path": ply_path, "rows": live})
     outf.close()
 
 

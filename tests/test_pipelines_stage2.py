@@ -94,6 +94,31 @@ def test_gen_depth_cli(ws2):
         assert img.shape[-1] == 3 and img.max() <= 1.0
 
 
+def test_gen_depth_dpt_cli(ws2, tmp_path):
+    """--dpt_ckpt routes the renders through the native monocular DPT
+    head (the reference's HF pipeline role) instead of exact disparity."""
+    torch = pytest.importorskip("torch")
+    from test_dpt import TINY, _torch_model
+    ckpt = str(tmp_path / "dpt.ckpt")
+    # num_heads is not shape-inferable; ship the config in the file
+    torch.save({"state_dict": _torch_model().state_dict(),
+                "config": dict(TINY)}, ckpt)
+    sds_model = os.path.join(ws2["root"], "output_sds", "toy_case")
+    assert os.path.isdir(sds_model), "run after test_sds_train_cli"
+    gen_depth.main([
+        "-s", ws2["src"], "-m", ws2["model"], "--scene_id", "toy_case",
+        "--resolution", "1", "--workspace", ws2["root"],
+        "--sds_model", sds_model, "--sds_iteration", str(SDS_IT),
+        "--frames", "2", "--modes", "x1", "--allow_default_orbit",
+        "--dpt_ckpt", ckpt, "--dpt_size", str(TINY["image_size"]),
+    ])
+    d = os.path.join(ws2["root"], "inpaint", "depth", "toy_case", "x1")
+    files = sorted(os.listdir(d))
+    assert len(files) >= 2
+    img = scene_io.load_image(os.path.join(d, files[0]))
+    assert img.shape[-1] == 3 and 0.0 <= img.min() and img.max() <= 1.0
+
+
 def test_gen_depth_rejects_unknown_scene(ws2):
     with pytest.raises(KeyError):
         gen_depth.main([

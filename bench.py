@@ -28,6 +28,7 @@ workload size, not just the toy scene.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -506,6 +507,34 @@ def main():
         del sparams, sout
     except Exception as e:  # noqa: BLE001
         print(f"scale row skipped: {e!r}", file=sys.stderr)
+
+    # ---- SVD inference clip (VERDICT r4 #5) ---------------------------
+    # The reference's other headline workload: one 25-step Euler-EDM
+    # guided sample (CFG-doubled 28-frame batch through UNet+ControlNet)
+    # + VideoDecoder decode at 512x384x14
+    # (svd_inpaint1/configs/test/svd_f_est_ctrl_simp1.yaml:161-177).
+    # Run in a subprocess so the 2.94B model's HBM is returned before
+    # the driver reads our JSON, and a hang can't cost the metric line.
+    if os.environ.get("BENCH_SKIP_SVD") != "1":
+        try:
+            import subprocess
+            r = subprocess.run(
+                [sys.executable, "-u",
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "bench_svd_clip.py")],
+                capture_output=True, text=True, timeout=3600)
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            clip = json.loads(line)
+            breakdown["svd_clip"] = {
+                "clip_s": clip["value"], "sample_s": clip["sample_s"],
+                "decode_s": clip["decode_s"], "steps": clip["steps"],
+                "note": ("25-step/14-frame 512x384 guided sample + "
+                         "decode; reference H100 wall-clock is the bar "
+                         "(BASELINE.md)"),
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"svd clip row skipped: {e!r}", file=sys.stderr)
 
     # Self-description: vs_baseline is FPS/100 against BASELINE.md's
     # ">=100 FPS per chip on TPU v5p" north star, but this container's

@@ -159,6 +159,11 @@ def main():
             base, iterations=args.iters,
             densify_until_iter=min(15_000, args.iters),
             position_lr_max_steps=args.iters)
+    # cfg is a STATIC jit arg of train_step: it must never change after
+    # the first step (a changed threshold would recompile the whole
+    # train step, ~55s/event — measured the hard way). The densify
+    # calls get their own copy that the controller may mutate.
+    cfg_d = cfg
 
     @jax.jit
     def _thr_for_budget(acc, den, live, k):
@@ -244,12 +249,13 @@ def main():
             thr = float(_thr_for_budget(
                 state.stats.grad_accum, state.stats.denom,
                 state.params.live, jnp.int32(k)))
-            cfg = dataclasses.replace(cfg, densify_grad_threshold=thr)
+            cfg_d = dataclasses.replace(cfg_d, densify_grad_threshold=thr)
             events["calibrate"] += 1
             last_thr = (round(thr, 6), k, tgt)
 
         key, sub = jax.random.split(key)
-        state, info = gs_trainer.maybe_densify(state, sub, cfg, spatial, it)
+        state, info = gs_trainer.maybe_densify(state, sub, cfg_d, spatial,
+                                               it)
         grew = info and info.get("granted", 0) < info.get("wanted", 0)
         state = gs_trainer.grow_if_needed(state, info)
         if info.get("opacity_reset"):

@@ -145,7 +145,7 @@ def _assemble(tiles: jnp.ndarray, tiles_x: int, tiles_y: int, tile_w: int,
                                    "max_per_tile", "chunk", "backend",
                                    "interpret", "expand_window",
                                    "band_rows", "band_stride", "cull_n",
-                                   "force_wide"))
+                                   "force_wide", "wide_mode"))
 def render(params: GaussianParams, camera: RenderCamera,
            bg_color: jnp.ndarray, sh_degree: int = 0,
            scaling_modifier: float = 1.0,
@@ -160,7 +160,8 @@ def render(params: GaussianParams, camera: RenderCamera,
            band_row0: Optional[jnp.ndarray] = None,
            band_stride: int = 1,
            cull_n: Optional[int] = None,
-           force_wide: bool = False) -> RenderOutput:
+           force_wide: bool = False,
+           wide_mode: str = "auto") -> RenderOutput:
     """Render one view.
 
     ``backend``: "xla" (default) or "pallas" (fused TPU kernels with
@@ -262,7 +263,7 @@ def render(params: GaussianParams, camera: RenderCamera,
         expand_window=expand_window,
         tile_row0=row0, tiles_y_total=tiles_y_total,
         tile_row_stride=band_stride, cull_n=cull_n,
-        force_wide=force_wide)
+        force_wide=force_wide, wide_mode=wide_mode)
 
     if backend == "pallas":
         if (tile_h * tile_w) % 128 != 0:

@@ -153,7 +153,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
                   tiles_y_total: int | None = None,
                   tile_row_stride: int = 1,
                   cull_n: int | None = None,
-                  force_wide: bool = False) -> TileBins:
+                  force_wide: bool = False,
+                  wide_mode: str = "auto") -> TileBins:
     """``aligned_chunk`` > 0 selects the Pallas segment layout. With
     packed keys the layout is UNALIGNED (no padding pairs at all — the
     kernels DMA from the 128-aligned enclosing window and mask lanes);
@@ -386,8 +387,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
     if aligned_chunk and use_rank:
         return _seg_bins(key, active, x0, y0, rect_w, starts, ends,
                          total, nm, gid_bits, tiles_x, tiles_y,
-                         num_tiles, pair_budget,
-                         order)._replace(aux_sorted=aux_sorted,
+                         num_tiles, pair_budget, order,
+                         wide_mode=wide_mode)._replace(aux_sorted=aux_sorted,
                                          expand_needed=expand_needed,
                                          cull_needed=cull_needed,
                                          order_full=order_full)
@@ -456,7 +457,8 @@ def bin_gaussians(means2d: jnp.ndarray, radius: jnp.ndarray,
 
 
 def _seg_bins(key, active, x0, y0, rect_w, starts, ends, total, n,
-              gid_bits, tiles_x, tiles_y, num_tiles, pair_budget, order):
+              gid_bits, tiles_x, tiles_y, num_tiles, pair_budget, order,
+              wide_mode="auto"):
     """Unaligned per-tile segments for the Pallas kernels (see module
     docstring): no padding pairs — the sort, gather and backward
     reduction run over true pairs only; the kernels window-align their
@@ -515,14 +517,51 @@ def _seg_bins(key, active, x0, y0, rect_w, starts, ends, total, n,
     seg_start = (jnp.cumsum(counts) - counts).astype(jnp.int32)
 
     if isinstance(key, tuple):
-        # Wide keys: lexicographic (tile, rank) sort — both int32, any
-        # N. Within a tile ranks are unique, so the order is exactly
-        # the packed sort's. Invalid slots carry (INT_MAX, INT_MAX)
-        # and sort to the end.
+        # Wide keys: (tile, rank) over the pair slots — any N. Within a
+        # tile ranks are unique, so the order is exactly the packed
+        # sort's. Invalid slots carry (INT_MAX, INT_MAX) and sort to
+        # the end. Three encodings, narrowest first (sort cost on TPU
+        # is operand-traffic-bound; PERF.md round 5):
+        #   u32  — tile and rank fused into ONE unsigned key when
+        #          (num_tiles + 1) < 2**(32 - gid_bits): one operand
+        #          instead of two (covers 512x384 up to ~2M ranks and
+        #          1080p up to ~524k — exactly the train-at-scale
+        #          regime the i32 packed path misses by one bit).
+        #   i16  — tile rides a 16-bit key operand when
+        #          num_tiles < 2**15 - 1 (any realistic grid): 6 sort
+        #          bytes/slot instead of 8.
+        #   lex  — the original 2x int32 lexicographic fallback.
         tile_k, rank_k = key
-        tile_s, rank_s = jax.lax.sort((tile_k, rank_k), num_keys=2)
-        gid_s = jnp.where(tile_s == _INT_MAX, n,
-                          jnp.minimum(rank_s, n)).astype(jnp.int32)
+        mode = wide_mode
+        if mode == "auto":
+            if (num_tiles + 1) < (1 << max(32 - gid_bits, 0)):
+                mode = "u32"
+            elif num_tiles < (1 << 15) - 1:
+                mode = "i16"
+            else:
+                mode = "lex"
+        if mode == "u32":
+            # Valid keys < (num_tiles << gid_bits) + 2**gid_bits
+            # <= 2**32 - 2**gid_bits - 1 < the 0xFFFFFFFF sentinel.
+            ku = ((tile_k.astype(jnp.uint32) << gid_bits)
+                  | rank_k.astype(jnp.uint32))
+            ku = jnp.where(tile_k == _INT_MAX,
+                           jnp.uint32(0xFFFFFFFF), ku)
+            (ks,) = jax.lax.sort((ku,), is_stable=False)
+            rank_s = (ks & jnp.uint32((1 << gid_bits) - 1)).astype(
+                jnp.int32)
+            gid_s = jnp.where(ks == jnp.uint32(0xFFFFFFFF), n,
+                              jnp.minimum(rank_s, n)).astype(jnp.int32)
+        elif mode == "i16":
+            t16 = jnp.where(tile_k == _INT_MAX, (1 << 15) - 1,
+                            tile_k).astype(jnp.int16)
+            t16_s, rank_s = jax.lax.sort((t16, rank_k), num_keys=2)
+            gid_s = jnp.where(rank_s == _INT_MAX, n,
+                              jnp.minimum(rank_s, n)).astype(jnp.int32)
+        else:
+            tile_s, rank_s = jax.lax.sort((tile_k, rank_k), num_keys=2)
+            gid_s = jnp.where(tile_s == _INT_MAX, n,
+                              jnp.minimum(rank_s, n)).astype(jnp.int32)
     else:
         # Unstable single-operand sort: jnp.sort is stable by default,
         # which makes XLA carry an iota payload through every pass.

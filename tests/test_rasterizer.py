@@ -898,17 +898,22 @@ def test_wide_keys_binning_level():
                   aligned_chunk=128, expand_kernel=expand_kernel,
                   interpret=True)
         a = binning.bin_gaussians(means2d, radius, depth, **kw)
-        b = binning.bin_gaussians(means2d, radius, depth,
-                                  force_wide=True, **kw)
-        np.testing.assert_array_equal(np.asarray(b.gid_sorted),
-                                      np.asarray(a.gid_sorted))
-        np.testing.assert_array_equal(np.asarray(b.seg_start),
-                                      np.asarray(a.seg_start))
-        np.testing.assert_array_equal(np.asarray(b.counts),
-                                      np.asarray(a.counts))
-        np.testing.assert_array_equal(np.asarray(b.order),
-                                      np.asarray(a.order))
-        assert int(b.total_pairs) == int(a.total_pairs)
+        # Every wide-key encoding (fused u32 / 16-bit tile operand /
+        # 2x int32 lexicographic) must match the packed path exactly.
+        for mode in ("auto", "u32", "i16", "lex"):
+            b = binning.bin_gaussians(means2d, radius, depth,
+                                      force_wide=True, wide_mode=mode,
+                                      **kw)
+            np.testing.assert_array_equal(np.asarray(b.gid_sorted),
+                                          np.asarray(a.gid_sorted),
+                                          err_msg=mode)
+            np.testing.assert_array_equal(np.asarray(b.seg_start),
+                                          np.asarray(a.seg_start))
+            np.testing.assert_array_equal(np.asarray(b.counts),
+                                          np.asarray(a.counts))
+            np.testing.assert_array_equal(np.asarray(b.order),
+                                          np.asarray(a.order))
+            assert int(b.total_pairs) == int(a.total_pairs)
 
 
 def test_rect_pack_bound_fallback():

@@ -98,13 +98,25 @@ def densify_and_prune(params: GaussianParams, stats: DensifyStats,
     act_scale = params.act_scaling()
     max_scale = jnp.max(act_scale, axis=-1)
 
+    # Quarantine rows whose params went non-finite (diverged optimizer
+    # step, overflowed activation): they render nothing (the projector
+    # culls them) and must never be cloned/split — resampling from a
+    # NaN parent spreads the poison. They are pruned so the slot
+    # recycles.
+    row_finite = (jnp.isfinite(params.xyz).all(axis=-1)
+                  & jnp.isfinite(params.scaling).all(axis=-1)
+                  & jnp.isfinite(params.opacity[:, 0])
+                  & jnp.isfinite(params.rotation).all(axis=-1)
+                  & jnp.isfinite(stats.grad_accum))
+
     grads = stats.grad_accum / jnp.maximum(stats.denom, 1.0)
-    hot = live & (grads >= grad_threshold)
+    hot = live & row_finite & (grads >= grad_threshold)
     clone_mask = hot & (max_scale <= percent_dense * extent)
     split_mask = hot & (max_scale > percent_dense * extent)
 
     # --- prune ----------------------------------------------------------
-    prune = live & (params.act_opacity()[:, 0] < min_opacity)
+    prune = live & (~row_finite
+                    | (params.act_opacity()[:, 0] < min_opacity))
     if max_screen_size is not None:
         prune = prune | (live & (stats.max_radii2d > max_screen_size))
         prune = prune | (live & (max_scale > 0.1 * extent))

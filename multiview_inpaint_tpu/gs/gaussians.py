@@ -67,7 +67,12 @@ class GaussianParams:
         return jax.nn.sigmoid(self.opacity)
 
     def act_scaling(self) -> jnp.ndarray:
-        return jnp.exp(self.scaling)
+        # Clamped exp: an unbounded log-scale param can drift past f32
+        # overflow under long Adam schedules (exp(s)^2 enters the EWA
+        # covariance, which overflows at s ~ 44) — the clamp saturates
+        # the activation (and its gradient) far above any physical
+        # scene scale instead. Identity for s <= 20.
+        return jnp.exp(jnp.minimum(self.scaling, 20.0))
 
     def act_rotation(self) -> jnp.ndarray:
         return self.rotation / jnp.linalg.norm(

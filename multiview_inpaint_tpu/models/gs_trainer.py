@@ -114,6 +114,11 @@ class StepMetrics(NamedTuple):
     # callers running a tightened static ``expand_window`` must grow it
     # (re-jit) when this reaches the window.
     expand_needed: jnp.ndarray = 0
+    # Count of non-finite parameter-gradient entries this step (they are
+    # zeroed before the Adam update so one degenerate backward cannot
+    # poison the moment buffers); a persistent non-zero count flags a
+    # diverging run.
+    nonfinite_grads: jnp.ndarray = 0
 
 
 @partial(jax.jit, static_argnames=("cfg", "spatial_lr_scale", "sh_degree",
@@ -176,11 +181,20 @@ def train_step(state: TrainState, camera: RenderCamera,
     bc2 = 1.0 - b2 ** t
     live_col = p.live
     new_fields, new_mu, new_nu = {}, {}, {}
+    nonfinite = jnp.zeros((), jnp.int32)
     for f in _FIELDS:
         g = g_fields[f]
         # No updates for dead rows.
         rowmask = live_col.reshape((n,) + (1,) * (g.ndim - 1))
         g = jnp.where(rowmask, g, 0.0)
+        # Zero (and count) non-finite gradient entries: a single
+        # degenerate backward (near-singular conic, saturated alpha)
+        # otherwise writes inf/NaN into the Adam moments, which is
+        # absorbing — the row diverges and the poison spreads through
+        # densification. The where() is identity on healthy steps.
+        g_ok = jnp.isfinite(g)
+        nonfinite = nonfinite + jnp.sum(~g_ok).astype(jnp.int32)
+        g = jnp.where(g_ok, g, 0.0)
         m = b1 * state.mu[f] + (1 - b1) * g
         v = b2 * state.nu[f] + (1 - b2) * g * g
         upd = lrs[f] * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
@@ -189,12 +203,16 @@ def train_step(state: TrainState, camera: RenderCamera,
         new_nu[f] = v
 
     new_params = GaussianParams(live=p.live, **new_fields)
-    new_stats = state.stats.update(g_offset, radii, vis)
+    off_ok = jnp.isfinite(g_offset)
+    nonfinite = nonfinite + jnp.sum(~off_ok).astype(jnp.int32)
+    new_stats = state.stats.update(jnp.where(off_ok, g_offset, 0.0),
+                                   radii, vis)
     new_state = TrainState(params=new_params, mu=new_mu, nu=new_nu,
                            stats=new_stats, step=step)
     return new_state, StepMetrics(loss=loss, l1=l1,
                                   num_live=jnp.sum(p.live), pairs=pairs,
-                                  expand_needed=expand_needed)
+                                  expand_needed=expand_needed,
+                                  nonfinite_grads=nonfinite)
 
 
 def zero_moments(state: TrainState, row_mask: jnp.ndarray,

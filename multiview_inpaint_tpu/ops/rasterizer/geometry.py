@@ -136,7 +136,16 @@ def project_gaussians(
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
 
-    visible = in_front & det_ok & live
+    # Non-finite quarantine: a row whose params overflowed/NaN'd must
+    # CULL, not poison the shared binning tables (int32 casts of
+    # inf/NaN are undefined and a single bad rect can zero a whole
+    # frame's pair table). Identity for finite scenes.
+    finite_ok = (jnp.isfinite(det)
+                 & jnp.isfinite(means2d[:, 0]) & jnp.isfinite(means2d[:, 1])
+                 & jnp.isfinite(tz))
+    visible = in_front & det_ok & live & finite_ok
+    means2d = jnp.where(visible[:, None], means2d, 0.0)
+    radius_f = jnp.minimum(radius_f, 4.0 * (width + height))
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
     # Opacity-aware sigma cutoff: alpha = op*exp(-M^2/2) >= 1/255 holds
     # exactly inside the k-sigma ellipse with k = sqrt(2 ln(255 op)) —

@@ -83,6 +83,13 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="/tmp/ref_cadence.jsonl")
     p.add_argument("--eval_every", type=int, default=1000)
+    p.add_argument("--ckpt_every", type=int, default=5000,
+                   help="periodic train-state checkpoint (npz + sidecar "
+                        "json); 0 disables")
+    p.add_argument("--resume", default=None,
+                   help="path to a .npz train-state checkpoint written by "
+                        "--ckpt_every (reads <path>.meta.json for the "
+                        "iteration / pair_mult to resume from)")
     args = p.parse_args()
 
     import jax
@@ -169,17 +176,42 @@ def main():
     def _thr_for_budget(acc, den, live, k):
         """k-th largest live mean-gradient, on device (no host quantile
         on possibly-empty arrays — the stats reset right after a densify
-        event empties the valid set)."""
-        valid = live & (den > 0)
+        event empties the valid set). Non-finite accumulators are
+        excluded and the result is floored above 0 so a tie-at-zero (or
+        a poisoned stat) can never select every live row."""
+        valid = live & (den > 0) & jnp.isfinite(acc)
         mean_g = jnp.where(valid, acc / jnp.maximum(den, 1.0), -jnp.inf)
         s = jnp.sort(mean_g)                      # ascending, -inf first
         n_valid = jnp.sum(valid)
         k = jnp.clip(k, 1, jnp.maximum(n_valid - 1, 1))
-        return s[acc.shape[0] - 1 - k]
+        return jnp.maximum(s[acc.shape[0] - 1 - k], 1e-12)
+
+    @jax.jit
+    def _param_audit(params):
+        """(max live scaling param, any non-finite live row) — cheap
+        divergence telemetry fetched every progress report."""
+        live = params.live
+        neg = jnp.float32(-jnp.inf)
+        max_s = jnp.max(jnp.where(live, jnp.max(params.scaling, -1), neg))
+        ok = (jnp.isfinite(params.xyz).all(-1)
+              & jnp.isfinite(params.scaling).all(-1)
+              & jnp.isfinite(params.opacity[:, 0]))
+        bad = jnp.sum(live & ~ok)
+        return max_s, bad
 
     key = jax.random.key(0)
     spatial = 3.5
     pair_mult = args.pair_mult
+    start_iter = 1
+    if args.resume:
+        from multiview_inpaint_tpu.gs import checkpoint as gs_ckpt
+        state = gs_ckpt.load_train_state(args.resume)
+        with open(args.resume + ".meta.json") as f:
+            meta = json.load(f)
+        start_iter = int(meta["iter"]) + 1
+        pair_mult = float(meta.get("pair_mult", pair_mult))
+        emit({"event": "resumed", "from": args.resume,
+              "iter": start_iter, "capacity": state.params.capacity})
     plateau = []
     cur_cfg = (state.params.capacity, pair_mult)
     events = {"rejit": 0, "regrow": 0, "calibrate": 0,
@@ -199,8 +231,17 @@ def main():
         mse = float(np.mean((pred - gts[eval_id]) ** 2))
         return -10.0 * np.log10(max(mse, 1e-12))
 
+    def save_ckpt(tag, it):
+        from multiview_inpaint_tpu.gs import checkpoint as gs_ckpt
+        path = args.out.rsplit(".", 1)[0] + f"_{tag}.npz"
+        gs_ckpt.save_train_state(path, state)
+        with open(path + ".meta.json", "w") as f:
+            json.dump({"iter": it, "pair_mult": pair_mult}, f)
+        emit({"event": "ckpt", "tag": tag, "iter": it, "path": path})
+
+    nonfinite_acc = 0   # non-finite grad entries since last report
     step_hist = []      # (iter, live, step_ms) samples for the summary
-    for it in range(1, args.iters + 1):
+    for it in range(start_iter, args.iters + 1):
         view = train_ids[(it - 1) % len(train_ids)]
         rcam = RenderCamera.from_camera(cams[view])
         gt = jnp.asarray(gts[view])
@@ -249,9 +290,13 @@ def main():
             thr = float(_thr_for_budget(
                 state.stats.grad_accum, state.stats.denom,
                 state.params.live, jnp.int32(k)))
-            cfg_d = dataclasses.replace(cfg_d, densify_grad_threshold=thr)
-            events["calibrate"] += 1
-            last_thr = (round(thr, 6), k, tgt)
+            if np.isfinite(thr):
+                cfg_d = dataclasses.replace(cfg_d,
+                                            densify_grad_threshold=thr)
+                events["calibrate"] += 1
+            else:  # poisoned stats: keep the previous threshold
+                emit({"event": "thr_skip", "iter": it, "thr": repr(thr)})
+            last_thr = (round(thr, 9), k, tgt)
 
         key, sub = jax.random.split(key)
         state, info = gs_trainer.maybe_densify(state, sub, cfg_d, spatial,
@@ -267,13 +312,25 @@ def main():
                   "capacity": state.params.capacity, **{
                       k: info[k] for k in ("wanted", "granted")}})
 
+        if args.ckpt_every and it % args.ckpt_every == 0:
+            save_ckpt(f"it{it}", it)
+
         if it % 100 == 0 or it == args.iters:
             loss_now = float(metrics.loss)
             pairs = int(metrics.pairs)
             live = int(metrics.num_live)
+            bad_grads = int(metrics.nonfinite_grads)
+            max_s, bad_rows = _param_audit(state.params)
+            max_s, bad_rows = float(max_s), int(bad_rows)
             if first_loss is None:
                 first_loss = loss_now
-            assert np.isfinite(loss_now), f"loss diverged at {it}"
+            if (not np.isfinite(loss_now)) or pairs == 0 or bad_rows:
+                save_ckpt(f"crash_it{it}", it)
+                emit({"event": "crash", "iter": it, "loss": loss_now,
+                      "pairs": pairs, "bad_rows": bad_rows,
+                      "nonfinite_grads_step": bad_grads,
+                      "max_scaling": round(max_s, 3)})
+                sys.exit(2)
             med = (sorted(plateau)[len(plateau) // 2] * 1e3
                    if plateau else None)
             if med:
@@ -288,8 +345,11 @@ def main():
                    "capacity": state.params.capacity, "pairs": pairs,
                    "expand_needed": int(metrics.expand_needed),
                    "step_ms_median": med and round(med, 2),
+                   "max_scaling": round(max_s, 2),
                    "lr_xyz_scale": round(float(
                        it / cfg.position_lr_max_steps), 3)}
+            if bad_grads:
+                row["nonfinite_grads_step"] = bad_grads
             if last_thr is not None:
                 row["grad_thr"], row["densify_k"], row["live_target"] = \
                     last_thr

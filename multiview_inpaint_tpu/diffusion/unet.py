@@ -48,6 +48,15 @@ class UNetConfig:
     adm_in_channels: int = 768
     video_kernel_size: Tuple[int, ...] = (3, 1, 1)
     merge_strategy: str = "learned_with_images"
+    # The reference zero-initializes the final output conv
+    # (openaimodel zero_module(out)), which is parity for
+    # checkpoint-IMPORT (real weights overwrite it) but makes a
+    # RANDOM-init net's output identically zero — every gradient
+    # (incl. the ControlNet's, through the residual injection)
+    # vanishes, so random-init training configs (tiny tests, dryruns,
+    # synthetic sustained runs) silently train nothing. Those set
+    # False to get a small normal init instead.
+    out_zero_init: bool = True
     # Rematerialize blocks in the backward pass (use_checkpoint
     # parity). Block-level, not whole-net: a single checkpoint over the
     # full forward stores nothing extra but also saves no peak memory;
@@ -165,6 +174,8 @@ class VideoUNet(nn.Module):
 
         h = GroupNorm32(name="out_0")(h)
         h = nn.Conv(cfg.out_channels, (3, 3),
-                    kernel_init=nn.initializers.zeros,
+                    kernel_init=(nn.initializers.zeros
+                                 if cfg.out_zero_init else
+                                 nn.initializers.normal(0.02)),
                     name="out_2")(nn.silu(h))
         return h

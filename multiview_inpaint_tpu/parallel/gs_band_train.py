@@ -194,6 +194,7 @@ def _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev, band_rows,
         bc1 = 1.0 - b1 ** t
         bc2 = 1.0 - b2 ** t
         new_fields, new_mu, new_nu = {}, {}, {}
+        nonfinite = jnp.zeros((), jnp.int32)
         if zero_sharded:
             # ZeRO: reduce-scatter grads over capacity rows; Adam and
             # stats on the local 1/D rows; all-gather updated params.
@@ -204,7 +205,9 @@ def _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev, band_rows,
                 g = jax.lax.psum_scatter(g_fields[f], axis,
                                          scatter_dimension=0, tiled=True)
                 rowmask = live_loc.reshape((n_loc,) + (1,) * (g.ndim - 1))
-                g = jnp.where(rowmask, g, 0.0)
+                g_ok = jnp.isfinite(g)
+                nonfinite = nonfinite + jnp.sum(~g_ok).astype(jnp.int32)
+                g = jnp.where(rowmask & g_ok, g, 0.0)
                 mo = b1 * state.mu[f] + (1 - b1) * g
                 v = b2 * state.nu[f] + (1 - b2) * g * g
                 upd = lrs[f] * (mo / bc1) / (jnp.sqrt(v / bc2) + eps)
@@ -217,6 +220,9 @@ def _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev, band_rows,
                 new_nu[f] = v
             g_off_loc = jax.lax.psum_scatter(
                 g_offset, axis, scatter_dimension=0, tiled=True)
+            off_ok = jnp.isfinite(g_off_loc)
+            nonfinite = nonfinite + jnp.sum(~off_ok).astype(jnp.int32)
+            g_off_loc = jnp.where(off_ok, g_off_loc, 0.0)
             new_stats = state.stats.update(
                 g_off_loc,
                 jax.lax.dynamic_slice_in_dim(radii, r0, n_loc),
@@ -232,7 +238,9 @@ def _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev, band_rows,
             for f in _FIELDS:
                 g = g_fields[f]
                 rowmask = p.live.reshape((n,) + (1,) * (g.ndim - 1))
-                g = jnp.where(rowmask, g, 0.0)
+                g_ok = jnp.isfinite(g)
+                nonfinite = nonfinite + jnp.sum(~g_ok).astype(jnp.int32)
+                g = jnp.where(rowmask & g_ok, g, 0.0)
                 mo = b1 * state.mu[f] + (1 - b1) * g
                 v = b2 * state.nu[f] + (1 - b2) * g * g
                 upd = lrs[f] * (mo / bc1) / (jnp.sqrt(v / bc2) + eps)
@@ -242,22 +250,30 @@ def _build(cam, cfg, spatial_lr_scale, mesh, axis, n_dev, band_rows,
                 new_nu[f] = v
             # radii/visibility come from the replicated projection —
             # every band computes the same full-N values.
-            new_stats = state.stats.update(g_offset, radii, vis)
+            off_ok = jnp.isfinite(g_offset)
+            nonfinite = nonfinite + jnp.sum(~off_ok).astype(jnp.int32)
+            new_stats = state.stats.update(
+                jnp.where(off_ok, g_offset, 0.0), radii, vis)
 
         new_params = GaussianParams(live=p.live, **new_fields)
         new_state = TrainState(params=new_params, mu=new_mu, nu=new_nu,
                                stats=new_stats, step=step)
+        if zero_sharded:
+            # per-shard counts -> global (replicated) total
+            nonfinite = jax.lax.psum(nonfinite, axis)
         metrics = StepMetrics(
             loss=loss, l1=l1, num_live=jnp.sum(p.live),
             pairs=jax.lax.psum(pairs, axis),
-            expand_needed=jax.lax.pmax(expand_needed, axis))
+            expand_needed=jax.lax.pmax(expand_needed, axis),
+            nonfinite_grads=nonfinite)
         return new_state, metrics
 
     opt_spec = P(axis) if zero_sharded else P()
     state_spec = TrainState(params=P(), mu=opt_spec, nu=opt_spec,
                             stats=opt_spec, step=P())
     metric_spec = StepMetrics(loss=P(), l1=P(), num_live=P(),
-                              pairs=P(), expand_needed=P())
+                              pairs=P(), expand_needed=P(),
+                              nonfinite_grads=P())
     return jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(state_spec, P(), P(), P(), P(), P(), P(axis)),

@@ -39,7 +39,8 @@ from ..data.svd_dataset import (EstSVDForwardDataset,
 from ..diffusion import checkpoint as ckpt
 from ..diffusion.engine import EngineConfig, SVDEngine, init_engine
 from ..parallel import make_mesh
-from ..parallel.svd_data_parallel import (build_optimizer,
+from ..parallel.svd_data_parallel import (apply_trainable,
+                                          build_optimizer,
                                           make_dp_train_step,
                                           replicate_state, shard_svd_batch,
                                           trainable_params)
@@ -65,7 +66,8 @@ def _engine_config(args) -> EngineConfig:
             unet=UNetConfig(model_channels=32, num_res_blocks=1,
                             attention_resolutions=(1,),
                             channel_mult=(1, 2), num_head_channels=16,
-                            context_dim=16, adm_in_channels=adm),
+                            context_dim=16, adm_in_channels=adm,
+                            out_zero_init=False),
             vae=VAEConfig(ch=16, ch_mult=(1, 2, 4, 4), num_res_blocks=1),
             vit=_dc.replace(TINY_VIT, output_dim=16),
             num_frames=args.num_frames, vector_keys=vector_keys,
@@ -73,6 +75,8 @@ def _engine_config(args) -> EngineConfig:
     from ..diffusion.unet import UNetConfig
     return EngineConfig(num_frames=args.num_frames,
                         compute_dtype=args.compute_dtype,
+                        remat=({"none": False, "all": "all",
+                                "attn": "attn"}[args.remat]),
                         unet=UNetConfig(adm_in_channels=adm),
                         vector_keys=vector_keys,
                         hint_channels=hint_channels)
@@ -152,6 +156,13 @@ def train(args):
         ckpt.save_params(path, tree["controlnet"] if list(tree) == [
             "controlnet"] else tree)
         logger.echo(f"saved {path}")
+        if args.keep_last and tag.startswith("epoch="):
+            kept = sorted(f for f in os.listdir(os.path.dirname(path))
+                          if f.startswith("epoch=") and
+                          f.endswith(".npz"))
+            for old in kept[:-args.keep_last]:
+                os.remove(os.path.join(os.path.dirname(path), old))
+                logger.echo(f"rotated out {old}")
 
     signal.signal(signal.SIGUSR1, lambda *_: save("melk"))
 
@@ -208,7 +219,52 @@ def train(args):
     except Exception:
         save("last")  # crash checkpoint (reference SetupCallback)
         raise
+    if args.final_ema_eval and args.ema:
+        _final_ema_eval(eng, state, ema, ds, make_batch, mesh, args,
+                        logger)
     logger.close()
+
+
+def _final_ema_eval(eng, state, ema, ds, make_batch, mesh, args, logger):
+    """End-of-run EMA-vs-raw objective on a fixed batch set (the
+    reference evaluates the LitEma swap at validation,
+    main.py:309-487): same keys, same data, loss under raw trainable
+    weights vs the EMA tree."""
+    import json as _json
+
+    from ..parallel.svd_data_parallel import trainable_params as _tp
+
+    @jax.jit
+    def eval_loss(st0, trainable, key, lat_b, cond_b):
+        def per_video(k, lat, cond):
+            st = apply_trainable(st0, trainable)
+            return eng.loss(st, k, lat, cond)
+        keys = jax.random.split(key, lat_b.shape[0])
+        return jnp.mean(jax.vmap(per_video)(keys, lat_b, cond_b))
+
+    batches = []
+    items = []
+    for it in epoch_iterator(ds, seed=args.seed + 10_000):
+        items.append(it)
+        if len(items) == args.batch_size:
+            batches.append(make_batch(items))
+            items = []
+        if len(batches) >= args.final_ema_eval:
+            break
+    raw = _tp(state, args.train_label_emb)
+    tot = {"raw": 0.0, "ema": 0.0}
+    for i, (lb, cb) in enumerate(batches):
+        with mesh:
+            lb, cb = shard_svd_batch(lb, cb, mesh)
+            k = jax.random.fold_in(jax.random.key(args.seed + 20_000), i)
+            tot["raw"] += float(eval_loss(state, raw, k, lb, cb))
+            tot["ema"] += float(eval_loss(state, ema, k, lb, cb))
+    n = max(1, len(batches))
+    row = {"final_eval_batches": n,
+           "loss_raw": tot["raw"] / n,
+           "loss_ema": tot["ema"] / n}
+    logger.log(-1, event="final_ema_eval", **row)
+    logger.echo("final_ema_eval " + _json.dumps(row))
 
 
 def _log_images(eng, state, latents_b, cond_b, key, args, gstep):
@@ -259,6 +315,17 @@ def main(argv=None):
     p.add_argument("--accumulate", type=int, default=1)
     p.add_argument("--ckpt_every", type=int, default=5)
     p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--remat", choices=("none", "attn", "all"),
+                   default="none",
+                   help="per-block activation rematerialization (the "
+                        "full-size config trains with 'all'; reference "
+                        "use_checkpoint)")
+    p.add_argument("--keep_last", type=int, default=0,
+                   help="rotate epoch checkpoints, keeping the newest N "
+                        "(0 = keep all)")
+    p.add_argument("--final_ema_eval", type=int, default=0,
+                   help="with --ema: end-of-run loss on N fixed batches "
+                        "under raw vs EMA weights")
     p.add_argument("--log_images_every", type=int, default=0,
                    help="sample + save a train grid every N steps "
                         "(ImageLogger parity; 0 = off)")

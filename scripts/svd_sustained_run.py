@@ -193,13 +193,20 @@ def main():
                             out_channels=4, num_res_blocks=1,
                             attention_resolutions=(1,),
                             channel_mult=(1, 2), num_head_channels=16,
-                            context_dim=16, adm_in_channels=768),
+                            context_dim=16, adm_in_channels=768,
+                            out_zero_init=False),
             vae=VAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1,
                           z_channels=4),
             num_frames=t, compute_dtype="bfloat16", remat="all")
     else:
+        from multiview_inpaint_tpu.diffusion.unet import UNetConfig
+        # out_zero_init=False: this run trains from RANDOM init (no
+        # SVD weights in the env) — with the parity zero-init out conv
+        # the whole model is gradient-dead and the "training" would be
+        # a numerical no-op (perf identical, learning zero).
         cfg = EngineConfig(num_frames=t, compute_dtype="bfloat16",
-                           remat="all")
+                           remat="all",
+                           unet=UNetConfig(out_zero_init=False))
     eng = SVDEngine(cfg)
 
     t0 = time.time()

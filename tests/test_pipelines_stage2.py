@@ -337,6 +337,33 @@ def test_svd_train_cli(ws2, tmp_path):
     assert any(np.isfinite(r.get("loss", np.nan)) for r in log)
 
 
+def test_svd_train_ckpt_rotation_and_final_ema_eval(ws2, tmp_path):
+    data = str(tmp_path / "est_rot")
+    _write_est_scene(os.path.join(data, "000000000"))
+    logdir = str(tmp_path / "logs_rot")
+    svd_train.main([
+        "--data_root", data, "--logdir", logdir, "--tiny_model",
+        "--epochs", "4", "--devices", "1", "--num_frames", str(FRAMES),
+        "--size", str(SIZE[0]), str(SIZE[1]), "--ckpt_every", "1",
+        "--log_interval", "1", "--ema", "--keep_last", "2",
+        "--final_ema_eval", "1", "--lr", "0.05",
+    ])
+    ckpts = sorted(c for c in
+                   os.listdir(os.path.join(logdir, "checkpoints"))
+                   if c.startswith("epoch="))
+    # 4 epochs ckpt'd every 1, rotated to the newest 2
+    assert ckpts == ["epoch=000002.npz", "epoch=000003.npz"]
+    log = [json.loads(l) for l in
+           open(os.path.join(logdir, "svd_train_log.jsonl"))]
+    fin = [r for r in log if r.get("event") == "final_ema_eval"]
+    assert len(fin) == 1
+    assert np.isfinite(fin[0]["loss_raw"])
+    assert np.isfinite(fin[0]["loss_ema"])
+    # 4 steps at decay 0.9999: EMA stays ~at init, raw has moved — the
+    # two numbers must be genuinely different evaluations
+    assert fin[0]["loss_raw"] != fin[0]["loss_ema"]
+
+
 def test_svd_train_warp_cli(ws2, tmp_path):
     data = str(tmp_path / "warp")
     _write_est_scene(os.path.join(data, "000000000"), with_warp=True)

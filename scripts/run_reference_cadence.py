@@ -80,6 +80,12 @@ def main():
                    help="live-count ramp endpoint for the threshold "
                         "controller (reached near densify_until_iter)")
     p.add_argument("--pair_mult", type=float, default=3.0)
+    p.add_argument("--res", default=None, metavar="WxH",
+                   help="render/GT resolution (default 512x384 on TPU, "
+                        "128x96 on CPU). 512x384 saturates honest "
+                        "densify gradients near ~400k live — use "
+                        "1920x1080 with --n_target 4000000 for the "
+                        "reference's Mip-360-scale detail pressure")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="/tmp/ref_cadence.jsonl")
     p.add_argument("--eval_every", type=int, default=1000)
@@ -105,6 +111,8 @@ def main():
 
     backend = "xla" if jax.default_backend() == "cpu" else "pallas"
     w, h = (128, 96) if args.cpu else (512, 384)
+    if args.res:
+        w, h = (int(x) for x in args.res.lower().split("x"))
     log(f"backend={jax.default_backend()} rasterizer={backend} "
         f"mode={args.mode} {w}x{h} iters={args.iters}")
     outf = open(args.out, "a", buffering=1)

@@ -140,6 +140,40 @@ def _make_batches(n_batches, t, size, cfg, h8, w8):
     return batches
 
 
+def _sample_grid(eng, state, batches, key, out_dir, gstep, t, h8, w8):
+    """ImageLogger parity for the sustained run: 25-step guided sample
+    on the first synthetic batch + VideoDecoder + 4-wide PNG grid.
+    Wrapped so a sampling-side OOM degrades to a log line instead of
+    killing the training run."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multiview_inpaint_tpu.gs import scene_io
+    from multiview_inpaint_tpu.pipelines.svd_test import to_grid
+    try:
+        lb, cb = batches[0]
+        cond = {k: v[0] for k, v in cb.items()}
+        uc = dict(cond)
+        uc["crossattn"] = jnp.zeros_like(cond["crossattn"])
+        uc["concat"] = jnp.zeros_like(cond["concat"])
+        t0 = _time.time()
+        z = eng.sample(state, key, cond, uc,
+                       latent_shape=(t, h8, w8, 4))
+        frames = np.asarray(eng.decode_first_stage(state, z,
+                                                   timesteps=t))
+        out = os.path.join(out_dir, "log_img",
+                           f"samples_gs-{gstep:06d}.png")
+        scene_io.save_image(out, to_grid(frames))
+        log(f"sample grid {out} in {_time.time()-t0:.1f}s "
+            f"(range [{frames.min():.2f}, {frames.max():.2f}])")
+    except Exception as e:  # noqa: BLE001 — keep the run alive
+        log(f"sample grid at step {gstep} FAILED: {type(e).__name__}: "
+            f"{e}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=100)
@@ -151,6 +185,19 @@ def main():
     p.add_argument("--resume", action="store_true",
                    help="fresh process: reload the --ckpt_at state, "
                         "replay the tail, verify the final digest")
+    p.add_argument("--ckpt_every", type=int, default=0,
+                   help="periodic rotated train-state checkpoints "
+                        "(reference ModelCheckpoint every 5 epochs, "
+                        "configs/training/*.yaml:196-214); 0 = off")
+    p.add_argument("--keep_last", type=int, default=3,
+                   help="rotation depth for --ckpt_every saves")
+    p.add_argument("--sample_every", type=int, default=0,
+                   help="fire a 25-step sample + VideoDecoder grid "
+                        "every N steps (reference ImageLogger, "
+                        "main.py:309-487); 0 = off")
+    p.add_argument("--final_ema_eval", type=int, default=0,
+                   help="end-of-run loss on N fixed batches under raw "
+                        "vs EMA weights (LitEma swap at validation)")
     p.add_argument("--toy", action="store_true",
                    help="tiny model on CPU: validates the run/resume/"
                         "digest machinery without the TPU")
@@ -275,6 +322,24 @@ def main():
                 if gstep % 10 == 0 or gstep == args.steps - 1:
                     log(f"step {gstep}: {dt*1000:.1f} ms "
                         f"loss={loss:.5f}")
+            if args.ckpt_every and (gstep + 1) % args.ckpt_every == 0:
+                path = os.path.join(args.out,
+                                    f"ckpt_step={gstep + 1:06d}.npz")
+                ts = time.time()
+                _save_tree(path, {"trainable": trainable_params(state),
+                                  "opt": opt_state, "ema": ema},
+                           {"step": gstep + 1, "losses": losses})
+                log(f"ckpt {path} "
+                    f"({os.path.getsize(path)/2**30:.2f} GiB, "
+                    f"{time.time()-ts:.1f}s)")
+                kept = sorted(f for f in os.listdir(args.out)
+                              if f.startswith("ckpt_step="))
+                for old in kept[:-args.keep_last]:
+                    os.remove(os.path.join(args.out, old))
+                    log(f"rotated out {old}")
+            if args.sample_every and (gstep + 1) % args.sample_every == 0:
+                _sample_grid(eng, state, batches, jax.random.key(7),
+                             args.out, gstep + 1, t, h8, w8)
             if (not args.resume and gstep + 1 == args.ckpt_at):
                 log(f"saving mid-run train state at step {gstep + 1}")
                 ts = time.time()
@@ -285,6 +350,27 @@ def main():
                 log(f"saved {os.path.getsize(resume_path)/2**30:.2f} GiB "
                     f"in {time.time()-ts:.1f}s: {resume_path}")
         peak = mem("final")
+        if args.final_ema_eval:
+            import jax.numpy as _jnp
+
+            @jax.jit
+            def eval_loss(st0, tr, k, lbv, cbv):
+                def per_video(kk, lat, cond):
+                    st = apply_trainable(st0, tr)
+                    return eng.loss(st, kk, lat, cond)
+                keys = jax.random.split(k, lbv.shape[0])
+                return _jnp.mean(jax.vmap(per_video)(keys, lbv, cbv))
+
+            raw = trainable_params(state)
+            tot = {"raw": 0.0, "ema": 0.0}
+            nb = min(args.final_ema_eval, len(sharded))
+            for i in range(nb):
+                lbv, cbv = sharded[i]
+                k = jax.random.fold_in(jax.random.key(99), i)
+                tot["raw"] += float(eval_loss(state, raw, k, lbv, cbv))
+                tot["ema"] += float(eval_loss(state, ema, k, lbv, cbv))
+            log(f"final_ema_eval batches={nb} "
+                f"raw={tot['raw']/nb:.5f} ema={tot['ema']/nb:.5f}")
 
     med = sorted(times)[len(times) // 2] if times else float("nan")
     dig = _digest({"trainable": trainable_params(state),

@@ -72,7 +72,7 @@ def _lane_cumsum(x, exclusive: bool = False):
     return dot(hi) + dot(lo)
 
 
-def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
+def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit, variant,
             starts_ref, counts_ref, row0_ref, attrs_ref, bg_ref, out_ref,
             scratch, sems):
     pix = tile_h * tile_w
@@ -106,6 +106,16 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
     lin = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
     pxl = jnp.mod(lin, tile_w).astype(jnp.float32)
     pyl = (lin // tile_w).astype(jnp.float32)
+    if variant == "mxu_power":
+        # [pix, 8] monomial operand for the quadratic-form matmul: all
+        # entries are integers <= (tile_w-1)*(tile_h-1) = 225 — exactly
+        # representable in bf16.
+        monos = jnp.concatenate(
+            [pxl * pxl, pxl * pyl, pyl * pyl, pxl, pyl,
+             jnp.ones_like(pxl), jnp.zeros_like(pxl),
+             jnp.zeros_like(pxl)], axis=1).astype(jnp.bfloat16)
+    else:
+        monos = None
 
     # Empty-tile fast path (hoisted): zero accumulators, T = 1. Half the
     # bench scene's tiles are empty, and running them through the normal
@@ -196,19 +206,59 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
                 sl = i * CHUNK + lane               # in-window slot [1,CHUNK]
                 valid = (sl >= off) & (sl < seg_end)
 
-                dx = pxl - (a[0:1, :] - ox)  # [PIX, CHUNK]
-                dy = pyl - (a[1:2, :] - oy)
-                # fma-chain form of -0.5(ca dx^2 + cc dy^2) - cb dx dy:
-                # 7 [PIX,CHUNK] ops vs 10 (the negated conic rows are
-                # [1,CHUNK] — near-free).
                 qxx = -0.5 * a[2:3, :]
                 qxy = -a[3:4, :]
                 qyy = -0.5 * a[4:5, :]
-                u = qxx * dx + qxy * dy
-                power = u * dx + (qyy * dy) * dy
+                if variant == "mxu_power":
+                    # VERDICT r4 #4a experiment: the quadratic form as
+                    # ONE monomial matmul [pix, 8] @ [8, CHUNK] — moves
+                    # ~9 full-width VPU ops to the MXU (which overlaps
+                    # the VPU critical path; comp_vpu_frac ~1.25).
+                    # Monomials (x2, xy, y2, x, y, 1, 0, 0) over
+                    # tile-LOCAL coords are integers <= 225 — exact in
+                    # bf16; the coefficient rows carry the cancellation
+                    # (|q·mx^2| up to ~1e2-1e3 vs power ~O(10)), so
+                    # they ride a hi/lo split: rel error ~2^-16 *
+                    # amplification — measured, not assumed.
+                    mx = a[0:1, :] - ox          # [1, CHUNK] local mean
+                    my = a[1:2, :] - oy
+                    q3 = -(2.0 * qxx * mx + qxy * my)
+                    q4 = -(2.0 * qyy * my + qxy * mx)
+                    q5 = (qxx * mx + qxy * my) * mx + qyy * my * my
+                    z = jnp.zeros_like(qxx)
+                    qm = jnp.concatenate(
+                        [qxx, qxy, qyy, q3, q4, q5, z, z], axis=0)
+                    qhi = qm.astype(jnp.bfloat16)
+                    qlo = (qm - qhi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    mono = monos  # [pix, 8] bf16, hoisted per tile
+
+                    def pdot(v):
+                        return jax.lax.dot_general(
+                            mono, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+                    power = pdot(qhi) + pdot(qlo)
+                    # The matmul form carries ~1e-3 abs error in power
+                    # (coefficient cancellation at 2^-16); the exact
+                    # `power <= 0` numerics gate flips at splat centers
+                    # (power -> 0-, alpha large) and drops whole
+                    # contributions. Clamp instead: exp(min(power,0))
+                    # with a widened degenerate-conic gate.
+                    gate_ok = power <= 0.5
+                    power = jnp.minimum(power, 0.0)
+                else:
+                    dx = pxl - (a[0:1, :] - ox)  # [PIX, CHUNK]
+                    dy = pyl - (a[1:2, :] - oy)
+                    # fma-chain form of -0.5(ca dx^2 + cc dy^2) - cb
+                    # dx dy: 7 [PIX,CHUNK] ops vs 10 (the negated conic
+                    # rows are [1,CHUNK] — near-free).
+                    u = qxx * dx + qxy * dy
+                    power = u * dx + (qyy * dy) * dy
+                    gate_ok = power <= 0.0
                 alpha = jnp.minimum(0.99, a[5:6, :] * jnp.exp(power))
                 alpha = jnp.where(
-                    (alpha >= a[10:11, :]) & valid & (power <= 0.0),
+                    (alpha >= a[10:11, :]) & valid & gate_ok,
                     alpha, 0.0)
                 logs = jnp.log1p(-alpha)
                 # exclusive prefix -> T entering each splat directly; the
@@ -229,18 +279,30 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
                 # unaligned lane offsets and force relayouts.)
                 cd = jnp.concatenate([a[6:9, :], a[9:10, :]], axis=0).T
                 whi = w.astype(jnp.bfloat16)
-                wlo = (w - whi.astype(jnp.float32)).astype(jnp.bfloat16)
                 cdb = cd.astype(jnp.bfloat16)
-                cdl = (cd - cdb.astype(jnp.float32)).astype(jnp.bfloat16)
-                acc4 = acc4 + (jax.lax.dot_general(
-                           whi, cdb, (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
-                       + jax.lax.dot_general(
-                           wlo, cdb, (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32)
-                       + jax.lax.dot_general(
-                           whi, cdl, (((1,), (0,)), ((), ())),
-                           preferred_element_type=jnp.float32))
+                if variant == "bf16_color":
+                    # VERDICT r4 #4b experiment: single bf16 pass (drop
+                    # the hi/lo splits — 2 of 3 MXU passes and ~4 VPU
+                    # ops); rel error ~2^-8 on the accumulators,
+                    # measured against the stated budget in
+                    # exp_composite_variant.py.
+                    acc4 = acc4 + jax.lax.dot_general(
+                        whi, cdb, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    wlo = (w - whi.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    cdl = (cd - cdb.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    acc4 = acc4 + (jax.lax.dot_general(
+                               whi, cdb, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+                           + jax.lax.dot_general(
+                               wlo, cdb, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+                           + jax.lax.dot_general(
+                               whi, cdl, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32))
                 # VPU lane reduce: an MXU ones-column dot here measured a
                 # 4 ms/frame REGRESSION (small-N matmuls stall the pipe).
                 lt_next = lt_carry + jnp.sum(
@@ -289,13 +351,14 @@ def _kernel(group, tiles_x, tiles_y, tile_h, tile_w, early_exit,
 
 @partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_h",
                                    "tile_w", "interpret", "early_exit",
-                                   "group"))
+                                   "group", "variant"))
 def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
                      counts: jnp.ndarray, bg_color: jnp.ndarray,
                      tiles_x: int, tiles_y: int, tile_h: int = TILE_H,
                      tile_w: int = TILE_W, interpret: bool = False,
                      early_exit: bool = False, group: int = 0,
-                     row0: jnp.ndarray | None = None):
+                     row0: jnp.ndarray | None = None,
+                     variant: str = "base"):
     """attrs_t [NROWS, P] pair-sorted packed attrs; returns RAW
     [T, 8, pix] tiles (rows 0-3 = bg-free rgb+depth accumulators, row 4
     = final transmittance): callers composite the background in XLA.
@@ -344,7 +407,7 @@ def composite_pallas(attrs_t: jnp.ndarray, seg_start: jnp.ndarray,
     )
     out = pl.pallas_call(
         partial(_kernel, group, tiles_x, tiles_y, tile_h, tile_w,
-                early_exit),
+                early_exit, variant),
         out_shape=jax.ShapeDtypeStruct((tiles_y, tiles_x, 8, pix),
                                        jnp.float32),
         grid_spec=grid_spec,

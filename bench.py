@@ -536,6 +536,34 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"svd clip row skipped: {e!r}", file=sys.stderr)
 
+    # ---- GS train step at reference scale (VERDICT r4 #1/#2) ----------
+    # 2M-gaussian train step (render fwd + fused pallas bwd + Adam,
+    # 512x384 view) — the reference's training-workload scale (graphdeco
+    # CUDA training runs Mip-360 scenes at 1-6M splats). Subprocess so
+    # the 2M-capacity compile + buffers don't bloat the driver process.
+    if os.environ.get("BENCH_SKIP_GSTRAIN") != "1":
+        try:
+            import subprocess
+            r = subprocess.run(
+                [sys.executable, "-u",
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "bench_gs_train_step.py"),
+                 "--n", "2000000", "--capacity", "2097152"],
+                capture_output=True, text=True, timeout=2400)
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            row = json.loads(line)
+            breakdown["gs_train_2m"] = {
+                "step_ms": row["step_ms"], "it_per_s": row["it_per_s"],
+                "fwd_ms": row["fwd_ms"], "fwd_bwd_ms": row["fwd_bwd_ms"],
+                "pairs": row["pairs"],
+                "note": ("2M live / 2M capacity train step, 512x384 "
+                         "view, tight pair budget; wall incl. dispatch "
+                         "(device-true round-4 xplane ref: 180.3 ms)"),
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"gs train row skipped: {e!r}", file=sys.stderr)
+
     # Self-description: vs_baseline is FPS/100 against BASELINE.md's
     # ">=100 FPS per chip on TPU v5p" north star, but this container's
     # chip is a v5e-lite (measured ceilings in `breakdown.ceilings`;

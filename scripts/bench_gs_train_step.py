@@ -112,6 +112,13 @@ def main():
           f"window={kw['expand_window']}")
     print(f"fwd={t_f*1e3:.1f}ms fwd+bwd={t_g*1e3:.1f}ms "
           f"step={t_s*1e3:.1f}ms ({1/t_s:.2f} it/s)", flush=True)
+    import json
+    print(json.dumps({
+        "metric": "gs_train_step", "n_gaussians": n, "capacity": cap,
+        "pairs": int(metrics.pairs),
+        "fwd_ms": round(t_f * 1e3, 2), "fwd_bwd_ms": round(t_g * 1e3, 2),
+        "step_ms": round(t_s * 1e3, 2), "it_per_s": round(1 / t_s, 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":

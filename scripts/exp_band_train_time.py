@@ -45,6 +45,16 @@ def main():
     p.add_argument("--budget_mult", type=float, default=2.6,
                    help="full-frame pairs / N; per-band budget divides "
                         "by D with slack")
+    p.add_argument("--zero", action="store_true",
+                   help="also time the ZeRO-sharded per-device graph "
+                        "(Adam on cap/D rows; parallel/gs_band_train "
+                        "zero_sharded=True) and model its collectives")
+    p.add_argument("--ici_gbps", type=float, default=45.0,
+                   help="assumed per-device ICI bandwidth (GB/s) for "
+                        "the comm MODEL (ring reduce-scatter + "
+                        "all-gather); v5e ~45, v5p ~90+ per the "
+                        "public per-link rates — a model, not a "
+                        "measurement (no multi-chip hardware here)")
     args = p.parse_args()
 
     import jax
@@ -83,7 +93,15 @@ def main():
     mu = {f: jnp.zeros_like(getattr(params, f)) for f in _FIELDS}
     nu = {f: jnp.zeros_like(getattr(params, f)) for f in _FIELDS}
 
-    def make_step(cull):
+    def make_step(cull, zero=False):
+        # zero=True times the ZeRO per-device graph: identical render
+        # fwd+bwd (the band needs FULL params after the all-gather),
+        # but Adam touches only this device's cap/D contiguous shard
+        # (gs_band_train zero_sharded=True semantics; shard 0 is
+        # representative — every shard is the same contiguous slice
+        # cost). The reduce-scatter/all-gather are modeled separately.
+        s = cap // d
+
         def step(fields, mu, nu, row0):
             def loss_fn(fields, offset):
                 q = GaussianParams(live=params.live, **fields)
@@ -105,10 +123,21 @@ def main():
             lrs = _group_lrs(cfg, jnp.int32(10), 1.0)
             new_f, new_mu, new_nu = {}, {}, {}
             for f in _FIELDS:
-                m = 0.9 * mu[f] + 0.1 * g[f]
-                v = 0.999 * nu[f] + 0.001 * g[f] * g[f]
-                new_f[f] = fields[f] - lrs[f] * m / (jnp.sqrt(v) + 1e-15)
-                new_mu[f], new_nu[f] = m, v
+                if zero:
+                    gs_ = g[f][:s]
+                    m = 0.9 * mu[f][:s] + 0.1 * gs_
+                    v = 0.999 * nu[f][:s] + 0.001 * gs_ * gs_
+                    upd = (fields[f][:s]
+                           - lrs[f] * m / (jnp.sqrt(v) + 1e-15))
+                    new_f[f] = fields[f].at[:s].set(upd)
+                    new_mu[f] = mu[f].at[:s].set(m)
+                    new_nu[f] = nu[f].at[:s].set(v)
+                else:
+                    m = 0.9 * mu[f] + 0.1 * g[f]
+                    v = 0.999 * nu[f] + 0.001 * g[f] * g[f]
+                    new_f[f] = (fields[f]
+                                - lrs[f] * m / (jnp.sqrt(v) + 1e-15))
+                    new_mu[f], new_nu[f] = m, v
             return new_f, new_mu, new_nu, loss, aux
         return jax.jit(step)
 
@@ -149,6 +178,58 @@ def main():
             "note": ("projection excludes the grad psum "
                      "(~112MB over ICI at 2M) and assumes the "
                      "replicated Adam overlaps nothing"),
+        }), flush=True)
+        base_worst = worst   # last loop iter = culled replicated step
+
+    if args.zero:
+        # ZeRO per-device graph (gs_band_train zero_sharded=True): same
+        # band fwd+bwd, Adam on a cap/D shard, then modeled collectives.
+        # Comm model (ring, ICI): replicated psum moves
+        # 2*(D-1)/D * grad_bytes per device; ZeRO moves
+        # (D-1)/D * grad_bytes (reduce-scatter) +
+        # (D-1)/D * param_bytes (all-gather) — the SAME wire bytes.
+        # ZeRO's win is Adam compute / optimizer+grad memory / D.
+        row_f = {f: int(np.prod(getattr(params, f).shape[1:]))
+                 for f in _FIELDS}
+        param_bytes = sum(row_f.values()) * 4 * cap
+        grad_bytes = param_bytes + 2 * 4 * cap          # + offset grad
+        bw = args.ici_gbps * 1e9
+        psum_ms = 2 * (d - 1) / d * grad_bytes / bw * 1e3
+        zero_ms = ((d - 1) / d * (grad_bytes + param_bytes)
+                   / bw * 1e3)
+        zstep = make_step(cull_cap, zero=True)
+        times = []
+        for r0 in range(d):
+            f = lambda r0=r0: zstep(fields, mu, nu, jnp.int32(r0))[3]
+            jax.block_until_ready(f())
+            dev, _ = device_stage_ms(f, args.iters, f"z{r0}", tbase)
+            times.append(dev)
+        zworst = max(times)
+        print(json.dumps({
+            "metric": "band_train_step_zero", "n_gaussians": n,
+            "devices": d, "cull_n": cull_cap,
+            "worst_band_device_ms": round(zworst, 2),
+            "median_band_device_ms": round(
+                sorted(times)[len(times) // 2], 2),
+            "adam_ms_saved_vs_replicated": round(base_worst - zworst, 2),
+            "comm_model": {
+                "ici_gbps_assumed": args.ici_gbps,
+                "zero_rs_ag_ms": round(zero_ms, 2),
+                "replicated_psum_ms": round(psum_ms, 2),
+                "grad_mb": round(grad_bytes / 1e6, 1),
+            },
+            "projected_it_per_s_incl_comm": round(
+                1e3 / (zworst + zero_ms), 2),
+            "replicated_projected_it_per_s_incl_comm": round(
+                1e3 / (base_worst + psum_ms), 2),
+            "optimizer_state_bytes_per_device": int(
+                2 * param_bytes / d),
+            "note": ("comm is a MODEL at the stated ICI GB/s (ring "
+                     "collectives, no overlap assumed) — no multi-chip "
+                     "hardware in this container; per-device compute is "
+                     "xplane device self-time of the real per-shard "
+                     "graph (equality vs single-device is gated by "
+                     "tests/test_gs_band_train.py zero tests + dryrun)"),
         }), flush=True)
 
 

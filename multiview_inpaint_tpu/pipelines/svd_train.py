@@ -145,7 +145,10 @@ def train(args):
     ema = replicate_state(ema, mesh)
 
     os.makedirs(args.logdir, exist_ok=True)
-    logger = RunLogger(args.logdir, "svd_train")
+    logger = RunLogger(args.logdir, "svd_train",
+                       backend="wandb" if args.wandb else "jsonl",
+                       wandb_project=args.wandb_project,
+                       config=vars(args))
 
     def save(tag):
         path = os.path.join(args.logdir, "checkpoints", f"{tag}.npz")
@@ -329,6 +332,11 @@ def main(argv=None):
     p.add_argument("--log_images_every", type=int, default=0,
                    help="sample + save a train grid every N steps "
                         "(ImageLogger parity; 0 = off)")
+    p.add_argument("--wandb", action="store_true",
+                   help="mirror metrics to wandb when the package is "
+                        "available (reference main.py:676-700 "
+                        "WandbLogger); degrades to JSONL otherwise")
+    p.add_argument("--wandb_project", default=None)
     p.add_argument("--seed", type=int, default=23)
     p.add_argument("--param_dtype", default="bfloat16",
                    help="weight storage dtype for the full-size "

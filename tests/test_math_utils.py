@@ -153,3 +153,23 @@ def test_inverse_sigmoid():
     np.testing.assert_allclose(
         1 / (1 + np.exp(-np.asarray(schedules.inverse_sigmoid(x)))), x,
         atol=1e-6)
+
+
+def test_run_logger_wandb_fallback(tmp_path):
+    """backend="wandb" must degrade to JSONL when wandb is absent
+    (reference main.py:676-700 gates its WandbLogger the same way:
+    logging never blocks training)."""
+    from multiview_inpaint_tpu.utils.logging import RunLogger
+
+    lg = RunLogger(str(tmp_path), "t", backend="wandb",
+                   wandb_project="x", config={"a": 1})
+    lg.log(0, loss=1.5)
+    lg.log(-1, event="final", val=2.0)
+    lg.close()
+    import json as _json
+    rows = [_json.loads(l) for l in open(lg.path)]
+    assert rows[0]["loss"] == 1.5 and rows[1]["event"] == "final"
+
+    import pytest
+    with pytest.raises(ValueError):
+        RunLogger(str(tmp_path), "t2", backend="nope")

@@ -41,7 +41,17 @@ def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
 
 
 def _sep_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Separable same-pad gaussian blur of [C, H, W]."""
+    """Separable same-pad gaussian blur of [C, H, W].
+
+    precision=HIGHEST is load-bearing: TPU XLA convs default to bf16
+    operand truncation, and SSIM subtracts blurred second moments
+    (E[x^2] - mu^2). With ~4e-3 relative bf16 error against C2=9e-4,
+    sigma^2 of smooth well-fit regions becomes noise, SSIM inflates
+    past its mathematical bound of 1, and the training loss goes
+    NEGATIVE (observed at iter ~2.6k of the 1080p cadence run: loss
+    -0.049, i.e. "SSIM"=1.2+). CPU convs are f32, so the torch-oracle
+    CI only ever saw the correct values — this is TPU-only.
+    """
     c = img.shape[0]
     size = window.shape[0]
     x = img[None]  # [1, C, H, W]
@@ -50,9 +60,11 @@ def _sep_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     dn = lax.conv_dimension_numbers(x.shape, wr.shape, ("NCHW", "OIHW", "NCHW"))
     pad = size // 2
     x = lax.conv_general_dilated(x, wr, (1, 1), [(pad, pad), (0, 0)],
-                                 dimension_numbers=dn, feature_group_count=c)
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
     x = lax.conv_general_dilated(x, wc, (1, 1), [(0, 0), (pad, pad)],
-                                 dimension_numbers=dn, feature_group_count=c)
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
     return x[0]
 
 

@@ -881,10 +881,16 @@ def test_wide_keys_bitmatch_packed():
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
 
 
+@_isolated
 def test_wide_keys_binning_level():
     """bin_gaussians wide vs packed: identical gid_sorted / seg_start /
     counts on the pallas segment layout, via both the expansion kernel
-    (interpret) and the XLA delta-scatter expansion."""
+    (interpret) and the XLA delta-scatter expansion.
+
+    Subprocess-isolated: this test's interpret-mode expansion graphs hit
+    the documented XLA:CPU late-session compile segfault (it killed the
+    round-5 full-suite run at test #157 — same signature as the
+    ``_isolated`` docstring's repro)."""
     from multiview_inpaint_tpu.ops.rasterizer import binning
 
     rng = np.random.default_rng(5)

@@ -172,6 +172,8 @@ def _sample_grid(eng, state, batches, key, out_dir, gstep, t, h8, w8):
     except Exception as e:  # noqa: BLE001 — keep the run alive
         log(f"sample grid at step {gstep} FAILED: {type(e).__name__}: "
             f"{e}")
+        return False
+    return True
 
 
 def main():
@@ -306,11 +308,27 @@ def main():
         log("compiling train step ...")
         for gstep in range(start_step, args.steps):
             lb, cb = sharded[gstep % args.n_batches]
-            k = jax.random.fold_in(key, gstep)
             t0 = time.time()
-            state, opt_state, ema, loss = step_fn(
-                state, opt_state, ema, k, lb, cb)
-            loss = float(jax.block_until_ready(loss))
+            # One retry on RESOURCE_EXHAUSTED: a failed full-size
+            # sample grid leaves HBM committed long enough that even a
+            # 4-byte fold_in upload OOMs on the next line (measured:
+            # the first 400-step run died exactly there). gc + backoff
+            # lets the backend release the sampler's buffers.
+            for attempt in (0, 1):
+                try:
+                    k = jax.random.fold_in(key, gstep)
+                    state, opt_state, ema, loss = step_fn(
+                        state, opt_state, ema, k, lb, cb)
+                    loss = float(jax.block_until_ready(loss))
+                    break
+                except Exception as e:  # noqa: BLE001
+                    if attempt or "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    log(f"step {gstep} hit {type(e).__name__} "
+                        f"(post-sample HBM pressure?); gc+30s retry")
+                    import gc
+                    gc.collect()
+                    time.sleep(30)
             dt = time.time() - t0
             losses.append(loss)
             if gstep == start_step:
@@ -338,8 +356,21 @@ def main():
                     os.remove(os.path.join(args.out, old))
                     log(f"rotated out {old}")
             if args.sample_every and (gstep + 1) % args.sample_every == 0:
-                _sample_grid(eng, state, batches, jax.random.key(7),
-                             args.out, gstep + 1, t, h8, w8)
+                if not _sample_grid(eng, state, batches,
+                                    jax.random.key(7), args.out,
+                                    gstep + 1, t, h8, w8):
+                    # Full-size sampling alongside the train state does
+                    # not fit 16 GB (2.94B bf16 params + Adam + EMA +
+                    # CFG-doubled sampler activations) — disable
+                    # further grids instead of re-OOMing every event;
+                    # grids at full size belong in a separate process
+                    # over a saved checkpoint (svd_test does exactly
+                    # that).
+                    log("disabling further sample grids this run")
+                    args.sample_every = 0
+                    import gc
+                    gc.collect()
+                    time.sleep(15)
             if (not args.resume and gstep + 1 == args.ckpt_at):
                 log(f"saving mid-run train state at step {gstep + 1}")
                 ts = time.time()
